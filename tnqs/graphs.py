@@ -105,7 +105,10 @@ class NamedGraph:
         return es + [reverse_edge(e) for e in es]
 
     def has_vertex(self, v) -> bool:
-        return v in self._adj
+        try:
+            return v in self._adj
+        except TypeError:  # unhashable candidate (e.g. a list of vertices)
+            return False
 
     def has_edge(self, u, v) -> bool:
         return v in self._adj.get(u, ())
