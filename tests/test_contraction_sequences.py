@@ -1,0 +1,83 @@
+"""Contraction-sequence tests (mirrors reference
+`test/test_contraction_sequences.jl`)."""
+
+import numpy as np
+import pytest
+
+from tnqs.contraction import contract, contraction_sequence
+from tnqs.core.index import Index
+from tnqs.core.tensor import random_tensor
+
+
+def _leaves(seq):
+    if isinstance(seq, int):
+        return [seq]
+    out = []
+    for s in seq:
+        out.extend(_leaves(s))
+    return out
+
+
+def _chain(rng, n=6, d=4):
+    inds = [Index(d) for _ in range(n - 1)]
+    tensors = []
+    for k in range(n):
+        loc = []
+        if k > 0:
+            loc.append(inds[k - 1])
+        if k < n - 1:
+            loc.append(inds[k])
+        tensors.append(random_tensor(loc, rng=rng))
+    return tensors
+
+
+def test_sequences_are_complete_trees(rng):
+    tensors = _chain(rng)
+    for alg in ("optimal", "greedy"):
+        seq = contraction_sequence(tensors, alg=alg)
+        assert sorted(_leaves(seq)) == list(range(1, len(tensors) + 1))
+
+
+def test_result_invariant_across_optimizers(rng):
+    tensors = _chain(rng, n=7, d=3)
+    ref = None
+    for alg in ("optimal", "greedy"):
+        seq = contraction_sequence(tensors, alg=alg)
+        val = contract(tensors, sequence=seq).item()
+        if ref is None:
+            ref = val
+        assert abs(val - ref) < 1e-10 * max(1, abs(ref))
+    # default left-to-right also agrees
+    val = contract(tensors).item()
+    assert abs(val - ref) < 1e-10 * max(1, abs(ref))
+
+
+def test_open_network_contraction(rng):
+    i, j, k, l = Index(2), Index(3), Index(4), Index(2)
+    a = random_tensor([i, j], rng=rng)
+    b = random_tensor([j, k], rng=rng)
+    c = random_tensor([k, l], rng=rng)
+    seq = contraction_sequence([a, b, c], alg="optimal")
+    out = contract([a, b, c], sequence=seq)
+    assert set(out.inds) == {i, l}
+    expected = np.asarray(a.data) @ np.asarray(b.data) @ np.asarray(c.data)
+    assert np.allclose(out.permute([i, l]).to_numpy(), expected)
+
+
+def test_single_and_pair():
+    i = Index(3)
+    t = random_tensor([i])
+    assert contraction_sequence([t]) == [1]
+    assert contraction_sequence([t, random_tensor([i])]) == [1, 2]
+
+
+def test_optimal_beats_or_matches_worst_order(rng):
+    # star contraction where greedy order matters
+    c = Index(2)
+    outs = [Index(8) for _ in range(4)]
+    center = random_tensor(outs, rng=rng)
+    legs = [random_tensor([o, c.sim()], rng=rng) for o in outs]
+    tensors = [center] + legs
+    seq = contraction_sequence(tensors, alg="optimal")
+    val = contract(tensors, sequence=seq)
+    assert val.ndim == len(legs)  # each leg leaves one dangling index
