@@ -23,7 +23,7 @@ from typing import Sequence
 from .core.index import Index
 from .core.tensor import Tensor, contract as _contract
 
-_OPTIMAL_MAX = 12
+_OPTIMAL_MAX = 10
 
 
 def _index_sets(tensors: Sequence[Tensor]) -> list[frozenset]:

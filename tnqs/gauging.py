@@ -25,7 +25,7 @@ def symmetric_gauge_(bpc: BeliefPropagationCache, regularization: float | None =
     if not isinstance(tn, TensorNetworkState):
         raise TypeError("Can only transform TensorNetworkStates to the symmetric gauge")
     if regularization is None:
-        eps = np.finfo(np.asarray(tn.real_dtype()).dtype).eps
+        eps = np.finfo(tn.real_dtype()).eps
         regularization = 10 * eps
 
     for e in bpc.edges():

@@ -306,6 +306,14 @@ def normalize_rdm(rho: Tensor) -> Tensor:
     return rho * (1.0 / tr)
 
 
+def rdm_matrix(rho: Tensor) -> np.ndarray:
+    """Canonical dense matrix of an RDM tensor: rows are the unprimed site
+    indices (sorted by identity), columns their primes in the same order."""
+    row = sorted([i for i in rho.inds if i.plev == 0], key=lambda i: i.id)
+    col = [i.prime() for i in row]
+    return np.asarray(rho.matricize(row, col))
+
+
 def reduced_density_matrix(psi, verts, alg: str | None = None, normalize: bool = True, **kwargs) -> Tensor:
     alg = default_alg(psi) if alg is None else alg
     algorithm_check(psi, "rdm", alg)
@@ -363,8 +371,7 @@ def renyi_entropy(arg, *args, alpha: float = 1, **kwargs) -> float:
     if isinstance(arg, np.ndarray):
         return renyi_entropy_matrix(arg, alpha, **kwargs)
     if isinstance(arg, Tensor) and not args:
-        row = [i for i in arg.inds if i.plev == 0]
-        return renyi_entropy_matrix(np.asarray(arg.matricize(row)), alpha, **kwargs)
+        return renyi_entropy_matrix(rdm_matrix(arg), alpha, **kwargs)
     if isinstance(arg, BeliefPropagationCache) and args and _is_edge(args[0], arg.graph):
         return _bond_renyi_entropy(arg, args[0], alpha)
     if isinstance(arg, TensorNetworkState) and args and _is_edge(args[0], arg.graph):
@@ -376,8 +383,7 @@ def renyi_entropy(arg, *args, alpha: float = 1, **kwargs) -> float:
     verts = args[0]
     alg = kwargs.pop("alg", None)
     rho = reduced_density_matrix(arg, verts, alg=alg, normalize=False, **kwargs)
-    row = [i for i in rho.inds if i.plev == 0]
-    return renyi_entropy_matrix(np.asarray(rho.matricize(row)), alpha, normalize=True)
+    return renyi_entropy_matrix(rdm_matrix(rho), alpha, normalize=True)
 
 
 def _is_edge(x, g: NamedGraph) -> bool:
