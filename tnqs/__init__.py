@@ -1,9 +1,163 @@
 """tnqs — TPU-native tensor-network quantum simulator.
 
 A from-scratch JAX/XLA/Pallas re-design of the capabilities of
-TensorNetworkQuantumSimulator.jl: belief propagation and boundary-MPS
-contraction of tensor networks on near-arbitrary graphs, simple-update
-circuit evolution, expectation values, sampling, and gauging.
+TensorNetworkQuantumSimulator.jl (`/root/reference`): belief propagation and
+boundary-MPS contraction of tensor networks on near-arbitrary graphs,
+simple-update circuit evolution, expectation values, entanglement entropies,
+gauging, loop corrections, and certified bitstring sampling.
+
+Two tiers:
+
+* the **flex tier** (this package's Python surface): named-index tensors over
+  numpy/JAX arrays, dynamically shaped, for arbitrary graphs — the general
+  API and the correctness oracle;
+* the **compiled tier** (`tnqs.engine`, `tnqs.ops`, `tnqs.parallel`):
+  statically-shaped, padded, batched-by-edge-color evolution and BP engines
+  that jit onto TPU and shard over device meshes.
+
+The user surface mirrors the reference's exported names
+(`/root/reference/src/TensorNetworkQuantumSimulator.jl:38-121`).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+# -- core tensor layer --------------------------------------------------
+from .core.index import Index, noprime, prime, sim
+from .core.tensor import (
+    Tensor,
+    commoninds,
+    delta,
+    directsum,
+    from_matrix,
+    identity_tensor,
+    onehot,
+    random_tensor,
+    uniqueinds,
+)
+from .core.linalg import (
+    eigh,
+    factorize,
+    factorize_svd,
+    map_diag,
+    map_eigs,
+    pseudo_sqrt_inv_sqrt,
+    qr,
+    svd,
+    truncation_rank,
+)
+
+# -- graphs -------------------------------------------------------------
+from .graphs import (
+    NamedGraph,
+    PartitionedGraph,
+    a_star,
+    boundary_edges,
+    build_graph_from_circuit,
+    build_graph_from_gates,
+    center,
+    edge_color,
+    forest_cover,
+    forest_cover_edge_sequence,
+    heavy_hexagonal_lattice,
+    is_connected,
+    is_line_graph,
+    is_ring_graph,
+    is_tree,
+    leaf_vertices,
+    leafless_edge_induced_subgraphs,
+    lieb_lattice,
+    named_comb_tree,
+    named_grid,
+    named_hexagonal_lattice_graph,
+    named_path_graph,
+    named_ring_graph,
+    post_order_dfs_edges,
+    reverse_edge,
+    steiner_tree,
+    topology_to_graph,
+    unique_simple_cycles,
+)
+
+# -- networks & constructors -------------------------------------------
+from .networks import (
+    TensorNetwork,
+    TensorNetworkState,
+    default_siteinds,
+    identity_tensornetworkstate,
+    ising_partitionfunction,
+    random_tensornetwork,
+    random_tensornetworkstate,
+    siteinds,
+    tensornetwork_from_list,
+    tensornetworkstate,
+    toriccode_groundstate,
+    zerostate,
+)
+from .sitetypes import op_matrix, site_dimension, site_tag, state_vector
+
+# -- contraction planning ----------------------------------------------
+from .contraction import contraction_sequence
+
+# -- forms --------------------------------------------------------------
+from .forms import AbstractForm, BilinearForm, QuadraticForm
+
+# -- message passing ----------------------------------------------------
+from .bp import (
+    BeliefPropagationCache,
+    default_bp_update_kwargs,
+    default_tolerance,
+    loop_correlations,
+    make_hermitian,
+    message_diff,
+)
+from .boundarymps import BoundaryMPSCache, default_bmps_update_kwargs, generic_apply
+from .loopcorrections import loopcorrected_partitionfunction
+
+# -- gauging ------------------------------------------------------------
+from .gauging import (
+    gauge_and_scale,
+    symmetric_gauge,
+    symmetric_gauge_,
+    symmetrize_and_normalize,
+)
+
+# -- gates & evolution --------------------------------------------------
+from .gates import (
+    gate_matrix,
+    register_alias,
+    register_gate,
+    to_tensor,
+    unregister_gate,
+)
+from .apply import apply_circuit, apply_gates, apply_op, simple_update
+from .fullupdate import full_update
+from .truncate import truncate
+
+# -- measurement --------------------------------------------------------
+from .measure import (
+    contract_network,
+    expect,
+    inner,
+    norm,
+    norm_sqr,
+    normalize,
+    rdm,
+    rdm_matrix,
+    reduced_density_matrix,
+    renyi_entropy,
+    second_renyi_entanglement_entropy,
+    von_neumann_entanglement_entropy,
+)
+
+# -- sampling -----------------------------------------------------------
+from .sampling import (
+    certify_sample,
+    certify_samples,
+    sample,
+    sample_certified,
+    sample_directly_certified,
+)
+
+# Julia-style aliases for API parity with the reference exports
+register_gate_bang = register_gate
+contract = contract_network

@@ -611,6 +611,13 @@ def _connected_leafless_subgraphs(g: NamedGraph, max_edges: int) -> list[frozens
     results: set[frozenset] = set()
     seen_states: set[frozenset] = set()
 
+    def n_leaves(es: set) -> int:
+        deg: dict = {}
+        for e in es:
+            for v in e:
+                deg[v] = deg.get(v, 0) + 1
+        return sum(1 for d in deg.values() if d == 1)
+
     def grow(current: set, frontier: set):
         key = frozenset(current)
         if key in seen_states:
@@ -619,6 +626,10 @@ def _connected_leafless_subgraphs(g: NamedGraph, max_edges: int) -> list[frozens
         if len(current) >= 3 and _is_leafless(current):
             results.add(key)
         if len(current) >= max_edges:
+            return
+        # each added edge can repair at most two degree-1 vertices, so prune
+        # states that cannot become leafless within the edge budget
+        if len(current) + (n_leaves(current) + 1) // 2 > max_edges:
             return
         min_idx = min(edge_index[e] for e in current)
         for e in list(frontier):
