@@ -21,6 +21,16 @@ The user surface mirrors the reference's exported names
 
 __version__ = "0.2.0"
 
+# The reference's default numerics are Float64 (`src/TensorNetworks/*`);
+# enable 64-bit in JAX so dtype-parametric code behaves identically.
+# Explicit float32/complex64 arrays are unaffected.  Opt out with TNQS_NO_X64.
+import os as _os
+
+if not _os.environ.get("TNQS_NO_X64"):
+    import jax as _jax
+
+    _jax.config.update("jax_enable_x64", True)
+
 # -- core tensor layer --------------------------------------------------
 from .core.index import Index, noprime, prime, sim
 from .core.tensor import (
