@@ -42,6 +42,7 @@ from .core.tensor import Tensor
 from .graphs import NamedGraph, reverse_edge
 from .networks import TensorNetworkState
 from .gates import gate_matrix
+from .utils.transfer import device_get as _device_get
 
 Array = jax.Array
 
@@ -372,7 +373,7 @@ class LatticeEngine:
             bond_index[frozenset((u, v))] = Index(self.chi, "Link")
         tensors = {}
         site_inds = {}
-        T_host = {k: np.asarray(arr) for k, arr in self.T.items()}
+        T_host = {k: _device_get(arr) for k, arr in self.T.items()}
         for v in plan.vertices:
             k, pos = plan.bucket_pos[v]
             s = self._site_index[v]
@@ -387,7 +388,7 @@ class LatticeEngine:
 
         psi = self.to_state()
         bpc = BeliefPropagationCache(psi)
-        M_host = np.asarray(self.M)
+        M_host = _device_get(self.M)
         for (u, v), eid in self.plan.edge_ids.items():
             b = psi.virtualind((u, v))
             bpc.set_message((u, v), Tensor(M_host[eid], [b, b.prime()]))
@@ -675,7 +676,7 @@ class LatticeEngine:
         outs = self._expect_1site_all(self.T, self.M, jnp.asarray(op))
         result = {}
         for k, verts in self.plan.buckets.items():
-            vals = np.asarray(outs[k])
+            vals = _device_get(outs[k])
             for i, v in enumerate(verts):
                 result[v] = complex(vals[i])
         return result
