@@ -309,6 +309,23 @@ def _svd_fallback(mat: Array):
     return jnp.linalg.svd(mat, full_matrices=False)
 
 
+def _scatter_rows(Tk: Array, pos, updates: Array) -> Array:
+    """Write `updates` [B, ...] into rows `pos` of `Tk` [n, ...].
+
+    Implemented as a one-hot matmul + select instead of `Tk.at[pos].set`:
+    XLA's scatter materializes whole update rows in scoped VMEM (24MB+ at
+    chi=64, past the 16MB limit), while a [n, B] x [B, F] matmul tiles onto
+    the MXU with bounded VMEM.  Positions must be unique."""
+    n = Tk.shape[0]
+    pos = jnp.asarray(pos)
+    B = updates.shape[0]
+    oh = (jnp.arange(n, dtype=pos.dtype)[:, None] == pos[None, :])
+    placed = jnp.matmul(oh.astype(Tk.dtype), updates.reshape(B, -1))
+    sel = jnp.any(oh, axis=1)
+    out = jnp.where(sel[:, None], placed, Tk.reshape(n, -1))
+    return out.reshape(Tk.shape)
+
+
 # ----------------------------------------------------------------------
 # the engine
 # ----------------------------------------------------------------------
@@ -476,7 +493,7 @@ class LatticeEngine:
             sel = (slot == j).astype(A_new.dtype).reshape((-1,) + (1,) * (A_new.ndim - 1))
             out = Aj * sel if out is None else out + Aj * sel
         T = dict(T)
-        T[k] = T[k].at[pos].set(out)
+        T[k] = _scatter_rows(T[k], pos, out)
         return T
 
     def _reduced(self, A: Array, envs: Array, k: int):
@@ -569,9 +586,17 @@ class LatticeEngine:
     def _apply_one_site_group(self, T: dict, group: OneSiteGroup):
         T = dict(T)
         for k, (pos, gates, _) in group.per_bucket.items():
-            A = T[k][pos]
-            A = jnp.einsum("Bps,Bs...->Bp...", jnp.asarray(gates, dtype=A.dtype), A)
-            T[k] = T[k].at[pos].set(A)
+            if len(pos) == T[k].shape[0]:
+                # whole-bucket update (e.g. a transverse-field kick on every
+                # qubit): no gather/scatter at all
+                perm = np.zeros(len(pos), dtype=np.int32)
+                perm[pos] = np.arange(len(pos), dtype=np.int32)
+                G = jnp.asarray(gates, dtype=T[k].dtype)[perm]
+                T[k] = jnp.einsum("Bps,Bs...->Bp...", G, T[k])
+            else:
+                A = T[k][pos]
+                A = jnp.einsum("Bps,Bs...->Bp...", jnp.asarray(gates, dtype=A.dtype), A)
+                T[k] = _scatter_rows(T[k], pos, A)
         return T
 
     # -- layer step -----------------------------------------------------
