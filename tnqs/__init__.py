@@ -159,6 +159,16 @@ from .measure import (
     von_neumann_entanglement_entropy,
 )
 
+# -- checkpoint / resume -------------------------------------------------
+from .checkpoint import (
+    load_bp_cache,
+    load_engine,
+    load_state,
+    save_bp_cache,
+    save_engine,
+    save_state,
+)
+
 # -- sampling -----------------------------------------------------------
 from .sampling import (
     certify_sample,
