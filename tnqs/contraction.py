@@ -22,8 +22,13 @@ from typing import Sequence
 
 from .core.index import Index
 from .core.tensor import Tensor, contract as _contract
+from . import native as _native
 
 _OPTIMAL_MAX = 10
+# the native DP prunes in C++; exhaustive search stays tractable further out
+_OPTIMAL_MAX_NATIVE = 16
+# hand whole-network greedy planning to C++ above this size
+_GREEDY_NATIVE_MIN = 24
 
 
 def _index_sets(tensors: Sequence[Tensor]) -> list[frozenset]:
@@ -47,8 +52,17 @@ def contraction_sequence(tensors: Sequence[Tensor], alg: str = "optimal", **kwar
         return [1]
     if n == 2:
         return [1, 2]
-    if alg == "optimal" and n <= _OPTIMAL_MAX:
-        return _optimal_sequence(tensors)
+    if alg == "optimal":
+        if _native.have_native() and n <= _OPTIMAL_MAX_NATIVE:
+            seq = _native.optimal_order(_index_sets(tensors), _dims(tensors))
+            if seq is not None:
+                return seq
+        if n <= _OPTIMAL_MAX:
+            return _optimal_sequence(tensors)
+    if _native.have_native() and n >= _GREEDY_NATIVE_MIN:
+        seq = _native.greedy_order(_index_sets(tensors), _dims(tensors))
+        if seq is not None:
+            return seq
     return _greedy_sequence(tensors)
 
 
