@@ -59,15 +59,31 @@ def bench_engine(g, layer, chi, steps):
     psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
     eng = LatticeEngine(psi, chi=chi, dtype=jnp.complex64)
     step = eng.make_step(layer, cutoff=1e-12, bp_maxiter=25)
-    # warm-up: compile + one real step
+
+    # On tunneled-TPU (axon) backends `block_until_ready` returns before
+    # execution finishes, so the timed region must end with a host fetch of
+    # a scalar that depends on every output.  The probe is compiled once.
+    @jax.jit
+    def probe(T, M, errors):
+        h = jnp.real(jnp.sum(errors))
+        h = h + jnp.real(jnp.sum(M)).astype(h.dtype)
+        for arr in T.values():
+            h = h + jnp.real(jnp.sum(arr)).astype(h.dtype)
+        # 0-d outputs cannot be fetched through tunneled backends; ship (1,1)
+        return jnp.full((1, 1), h)
+
+    def fetch(T, M, errors):
+        return float(np.asarray(probe(T, M, errors))[0, 0])
+
+    # warm-up: compile step + probe, run one real step
     t0 = time.time()
     T, M, errors = step(eng.T, eng.M)
-    jax.block_until_ready(errors)
+    fetch(T, M, errors)
     compile_s = time.time() - t0
     t0 = time.time()
     for _ in range(steps):
         T, M, errors = step(T, M)
-    jax.block_until_ready(errors)
+    fetch(T, M, errors)  # forces the whole chain; ~25ms, amortized
     dt = (time.time() - t0) / steps
     return 1.0 / dt, compile_s
 
@@ -89,7 +105,7 @@ def bench_flex(g, layer, chi):
 
 def main():
     g, layer, chi = build_workload()
-    steps = int(os.environ.get("TNQS_BENCH_STEPS", "2" if FAST else "5"))
+    steps = int(os.environ.get("TNQS_BENCH_STEPS", "5" if FAST else "20"))
     layers_per_sec, compile_s = bench_engine(g, layer, chi, steps)
 
     # The flex baseline is a host-CPU measurement and stable across runs, so

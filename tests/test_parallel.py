@@ -1,0 +1,70 @@
+"""Mesh-sharded engine tests on the virtual 8-device CPU mesh.
+
+The sharded step must be bit-for-bit the same program as the unsharded one
+(the sharding only changes layout), so results are compared exactly up to
+float roundoff from different reduction orders.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+import tnqs
+from tnqs.engine import LatticeEngine
+from tnqs.models import heavy_hex_kicked_ising_layer, tfim_layer
+from tnqs.parallel.mesh import ShardedEngine, make_mesh
+
+
+def test_mesh_has_eight_devices():
+    assert len(jax.devices()) == 8, "conftest must provide the virtual CPU mesh"
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
+
+
+def test_sharded_step_matches_unsharded():
+    g = tnqs.named_grid((3, 3))
+    psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+    layer = tfim_layer(g, J=0.5, hx=1.0, dt=0.25)
+
+    eng_a = LatticeEngine(psi, chi=4, dtype=jnp.complex64)
+    eng_a.bp_update(maxiter=10)
+    errs_a = eng_a.evolve(layer, num_layers=2, cutoff=1e-10, bp_maxiter=10)
+    z_a = eng_a.expect_1site("Z")
+
+    eng_b = LatticeEngine(psi, chi=4, dtype=jnp.complex64)
+    eng_b.bp_update(maxiter=10)
+    sharded = ShardedEngine(eng_b, make_mesh(8))
+    step = sharded.make_step(layer, cutoff=1e-10, bp_maxiter=10)
+    errs_b = []
+    for _ in range(2):
+        sharded.T, sharded.M, e = step(sharded.T, sharded.M)
+        errs_b.append(np.asarray(jax.device_get(e)))
+    eng_b = sharded.unshard()
+    z_b = eng_b.expect_1site("Z")
+
+    np.testing.assert_allclose(errs_a, np.stack(errs_b), rtol=1e-5, atol=1e-6)
+    for v in g.vertices():
+        assert abs(z_a[v] - z_b[v]) < 1e-5, v
+
+
+def test_sharded_heavyhex_irregular_buckets():
+    # heavy-hex has degree-2 and degree-3 buckets whose sizes are not
+    # multiples of 8 — exercises the padding path
+    g = tnqs.heavy_hexagonal_lattice(2, 2)
+    psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+    layer = heavy_hex_kicked_ising_layer(g, float(np.pi / 4), 0.4)
+    eng = LatticeEngine(psi, chi=4, dtype=jnp.complex64)
+    eng.bp_update(maxiter=5)
+    sharded = ShardedEngine(eng, make_mesh(8))
+    errors = sharded.step_once(layer, cutoff=1e-12, bp_maxiter=5)
+    assert np.isfinite(np.asarray(jax.device_get(errors))).all()
+    out = sharded.unshard()
+    z = out.expect_1site("Z")
+    assert np.isfinite(np.real(list(z.values()))).all()
+
+
+def test_mesh_subset():
+    mesh = make_mesh(4)
+    assert mesh.devices.size == 4

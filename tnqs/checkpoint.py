@@ -232,6 +232,7 @@ def load_engine(path):
 
     from .engine import LatticeEngine
     from .networks import siteinds, zerostate
+    from .utils.transfer import device_put
 
     header, data = _read_npz(path)
     g = _dec_graph(header["graph"])
@@ -247,6 +248,6 @@ def load_engine(path):
             raise ValueError(
                 f"bucket {k} shape mismatch: saved {saved.shape}, rebuilt {eng.T[k].shape}"
             )
-        eng.T[k] = jnp.asarray(saved)
-    eng.M = jnp.asarray(data["M"])
+        eng.T[k] = device_put(saved)
+    eng.M = device_put(data["M"])
     return eng

@@ -248,12 +248,21 @@ class Tensor:
     def to_jax(self, device=None) -> "Tensor":
         if not _HAVE_JAX:
             raise RuntimeError("jax unavailable")
-        data = jnp.asarray(self.data)
+        if isinstance(self.data, np.ndarray):
+            # complex-safe upload (tunneled backends lack complex transfers)
+            from ..utils.transfer import device_put
+
+            return Tensor(device_put(self.data, device), self.inds)
+        data = self.data
         if device is not None:
             data = jax.device_put(data, device)
         return Tensor(data, self.inds)
 
     def to_host(self) -> "Tensor":
+        if _HAVE_JAX and isinstance(self.data, jax.Array):
+            from ..utils.transfer import device_get
+
+            return Tensor(device_get(self.data), self.inds)
         return Tensor(np.asarray(self.data), self.inds)
 
 

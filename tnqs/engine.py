@@ -42,7 +42,7 @@ from .core.tensor import Tensor
 from .graphs import NamedGraph, reverse_edge
 from .networks import TensorNetworkState
 from .gates import gate_matrix
-from .utils.transfer import device_get as _device_get
+from .utils.transfer import device_get as _device_get, device_put as _device_put
 
 Array = jax.Array
 
@@ -355,7 +355,9 @@ class LatticeEngine:
         self.T = self._pack_state(psi)
         self.M = self._initial_messages()
         self._step_cache: dict = {}
-        self.real_dtype = jnp.zeros((), dtype).real.dtype
+        # via numpy: creating a 0-d complex device array is itself an
+        # unimplemented op on tunneled backends
+        self.real_dtype = np.zeros((), np.dtype(dtype)).real.dtype
         self.sqrt_cutoff = float(10 * jnp.finfo(self.real_dtype).eps)
 
     # -- state packing --------------------------------------------------
@@ -373,13 +375,13 @@ class LatticeEngine:
                 data = np.asarray(t.permute(order).data)
                 slices = (slice(0, d),) + tuple(slice(0, i.dim) for i in order[1:])
                 arr[(p,) + slices] = data
-            T[k] = jnp.asarray(arr)
+            T[k] = _device_put(arr)
         return T
 
     def _initial_messages(self) -> Array:
         chi = self.chi
         eye = np.eye(chi, dtype=np.dtype(self.dtype)) / chi
-        return jnp.asarray(np.broadcast_to(eye, (self.plan.num_edges, chi, chi)).copy())
+        return _device_put(np.broadcast_to(eye, (self.plan.num_edges, chi, chi)).copy())
 
     def to_state(self) -> TensorNetworkState:
         """Unpack into a flex-tier TensorNetworkState (bonds stay chi-padded;
@@ -529,7 +531,7 @@ class LatticeEngine:
             A = jnp.moveaxis(A, -1, 2 + j)
         return A
 
-    def _apply_two_site_class(self, T: dict, M: Array, errors: Array, cls: _TwoSiteClass, cutoff: float, normalize: bool):
+    def _apply_two_site_class(self, T: dict, M: Array, errors: Array, cls: _TwoSiteClass, cutoff: float, normalize: bool, gates: Array | None = None):
         chi, d = self.chi, self.d
         ku, kv = cls.ku, cls.kv
         Bn = len(cls.u_pos)
@@ -544,7 +546,10 @@ class LatticeEngine:
         Ru = Ru.reshape(Bn, ru, d, chi)
         Rv = Rv.reshape(Bn, rv, d, chi)
         theta = jnp.einsum("Bxda,Byea->Bxdye", Ru, Rv)
-        gates = jnp.asarray(cls.gates, dtype=M.dtype)
+        if gates is None:
+            gates = jnp.asarray(cls.gates, dtype=M.dtype)
+        else:
+            gates = gates.astype(M.dtype)
         theta = jnp.einsum("Bxdye,Bpqde->Bxpyq", theta, gates)
         theta_mat = theta.reshape(Bn, ru * d, rv * d)
         U, s, Vh = _svd_fallback(theta_mat)
@@ -583,19 +588,20 @@ class LatticeEngine:
         errors = errors.at[cls.gate_index].set(err)
         return T, M, errors
 
-    def _apply_one_site_group(self, T: dict, group: OneSiteGroup):
+    def _apply_one_site_group(self, T: dict, group: OneSiteGroup, gate_arrays: dict | None = None):
         T = dict(T)
         for k, (pos, gates, _) in group.per_bucket.items():
+            G = gates if gate_arrays is None else gate_arrays[k]
             if len(pos) == T[k].shape[0]:
                 # whole-bucket update (e.g. a transverse-field kick on every
                 # qubit): no gather/scatter at all
                 perm = np.zeros(len(pos), dtype=np.int32)
                 perm[pos] = np.arange(len(pos), dtype=np.int32)
-                G = jnp.asarray(gates, dtype=T[k].dtype)[perm]
-                T[k] = jnp.einsum("Bps,Bs...->Bp...", G, T[k])
+                Gp = jnp.asarray(G, dtype=T[k].dtype)[perm]
+                T[k] = jnp.einsum("Bps,Bs...->Bp...", Gp, T[k])
             else:
                 A = T[k][pos]
-                A = jnp.einsum("Bps,Bs...->Bp...", jnp.asarray(gates, dtype=A.dtype), A)
+                A = jnp.einsum("Bps,Bs...->Bp...", jnp.asarray(G, dtype=A.dtype), A)
                 T[k] = _scatter_rows(T[k], pos, A)
         return T
 
@@ -618,6 +624,27 @@ class LatticeEngine:
         if bp_tolerance is None:
             bp_tolerance = float(default_engine_tolerance(self.dtype))
         compiled = compile_circuit(self.plan, circuit, d=self.d)
+        # Gate tensors are passed as jit ARGUMENTS, uploaded once via the
+        # complex-safe split transfer.  Neither alternative survives tunneled
+        # backends: complex literals embedded in the program fail at runtime
+        # (constant upload is a complex host->device transfer), and closing
+        # over device arrays makes jax fetch them back to host at trace time.
+        gate_params: list = []
+        for grp in compiled:
+            if isinstance(grp, OneSiteGroup):
+                gate_params.append(
+                    {
+                        k: _device_put(np.asarray(g).astype(np.dtype(self.dtype)))
+                        for k, (pos, g, gi) in grp.per_bucket.items()
+                    }
+                )
+            else:
+                gate_params.append(
+                    [
+                        _device_put(np.asarray(cls.gates).astype(np.dtype(self.dtype)))
+                        for cls in grp.classes
+                    ]
+                )
         n_gates = len(circuit)
 
         # simulate the flex driver's affected-vertex rule at compile time
@@ -626,9 +653,9 @@ class LatticeEngine:
         program: list = []
         affected: set = set()
         plan = self.plan
-        for g in compiled:
+        for gidx, g in enumerate(compiled):
             if isinstance(g, OneSiteGroup):
-                program.append(("one", g))
+                program.append(("one", g, gidx))
                 for k, (pos, _, _) in g.per_bucket.items():
                     for p in pos:
                         affected.add(plan.buckets[k][int(p)])
@@ -641,25 +668,32 @@ class LatticeEngine:
                 if affected & verts:
                     program.append(("bp",))
                     affected = set()
-                program.append(("two", g))
+                program.append(("two", g, gidx))
                 affected |= verts
 
-        def step(T, M):
+        def step_impl(T, M, G):
             errors = jnp.zeros((n_gates,), dtype=self.real_dtype)
             for entry in program:
                 if entry[0] == "bp":
                     M = self._bp_fixed_point(T, M, bp_maxiter, bp_tolerance)
                 elif entry[0] == "one":
-                    T = self._apply_one_site_group(T, entry[1])
+                    T = self._apply_one_site_group(T, entry[1], G[entry[2]])
                 else:
-                    for cls in entry[1].classes:
+                    for ci, cls in enumerate(entry[1].classes):
                         T, M, errors = self._apply_two_site_class(
-                            T, M, errors, cls, cutoff, normalize
+                            T, M, errors, cls, cutoff, normalize, gates=G[entry[2]][ci]
                         )
             M = self._bp_fixed_point(T, M, bp_maxiter, bp_tolerance)
             return T, M, errors
 
-        return jax.jit(step)
+        jitted = jax.jit(step_impl)
+
+        def step(T, M):
+            return jitted(T, M, gate_params)
+
+        step.jitted = jitted
+        step.gate_params = gate_params
+        return step
 
     def evolve(self, circuit: Sequence, num_layers: int = 1, **kwargs):
         """Apply `num_layers` repetitions of `circuit`; returns the stacked
@@ -698,7 +732,7 @@ class LatticeEngine:
         from .sitetypes import op_matrix
 
         op = op_matrix(opname, self.d)
-        outs = self._expect_1site_all(self.T, self.M, jnp.asarray(op))
+        outs = self._expect_1site_all(self.T, self.M, _device_put(np.asarray(op)))
         result = {}
         for k, verts in self.plan.buckets.items():
             vals = _device_get(outs[k])
@@ -708,6 +742,6 @@ class LatticeEngine:
 
 
 def default_engine_tolerance(dtype) -> float:
-    if jnp.zeros((), dtype).real.dtype == jnp.float32:
+    if np.zeros((), np.dtype(dtype)).real.dtype == np.float32:
         return 1e-5
     return 1e-8

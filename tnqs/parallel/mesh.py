@@ -66,29 +66,43 @@ class ShardedEngine:
     def make_step(self, circuit, **kwargs):
         """Compile the sharded layer step.  Shapes include the padding, so
         the same engine kernels trace through; out-shardings keep the layout
-        stable across iterations."""
+        stable across iterations.  Gate tensors are threaded through the jit
+        boundary as replicated arguments (not closure constants — see
+        `LatticeEngine.make_step`)."""
         eng = self.engine
-        step = eng.make_step(circuit, **kwargs)
+        inner = eng.make_step(circuit, **kwargs)
+        gate_params = inner.gate_params
+        inner_jitted = inner.jitted
 
-        def sharded_step(T, M):
-            Tn, Mn, errors = step(
+        def sharded_step(T, M, G):
+            Tn, Mn, errors = inner_jitted(
                 {k: v[: self._t_rows[k]] for k, v in T.items()},
                 M[: self._m_rows],
+                G,
             )
             Tn = {k: _pad_rows(v, self._n) for k, v in Tn.items()}
             Mn = _pad_rows(Mn, self._n)
             return Tn, Mn, errors
 
+        replicated = NamedSharding(self.mesh, P())
         in_shardings = (
             {k: self._row_sharding for k in self.T},
             self._row_sharding,
+            jax.tree_util.tree_map(lambda _: replicated, gate_params),
         )
         out_shardings = (
             {k: self._row_sharding for k in self.T},
             self._row_sharding,
-            NamedSharding(self.mesh, P()),
+            replicated,
         )
-        return jax.jit(sharded_step, in_shardings=in_shardings, out_shardings=out_shardings)
+        jitted = jax.jit(sharded_step, in_shardings=in_shardings, out_shardings=out_shardings)
+
+        def step(T, M):
+            return jitted(T, M, gate_params)
+
+        step.jitted = jitted
+        step.gate_params = gate_params
+        return step
 
     def step_once(self, circuit, **kwargs):
         step = self.make_step(circuit, **kwargs)
