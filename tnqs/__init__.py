@@ -31,6 +31,14 @@ if not _os.environ.get("TNQS_NO_X64"):
 
     _jax.config.update("jax_enable_x64", True)
 
+# TPU matmuls default to bf16 passes, which is catastrophic for gauging /
+# Gram factorizations (1e-2 relative errors, NaNs in Cholesky).  Physics
+# needs true f32 accumulation; opt into speed explicitly where safe.
+if not _os.environ.get("TNQS_FAST_MATMUL"):
+    import jax as _jax
+
+    _jax.config.update("jax_default_matmul_precision", "highest")
+
 # -- core tensor layer --------------------------------------------------
 from .core.index import Index, noprime, prime, sim
 from .core.tensor import (

@@ -261,13 +261,15 @@ def _absorb_message(A: Array, M: Array, axis: int) -> Array:
     return jnp.moveaxis(A, -1, axis)
 
 
-def _pseudo_sqrt_roots(E: Array, cutoff: float):
+def _pseudo_sqrt_roots(E: Array, cutoff: float, eigh_fn=None):
     """Batched pseudo sqrt / inv-sqrt of hermitized env messages.
 
     E: [..., chi, chi] -> (W, Winv) with eigenvalues below `cutoff` zeroed
     (mirrors `pseudo_sqrt_inv_sqrt`, `src/utils.jl:18-26`)."""
     H = 0.5 * (E + jnp.swapaxes(E, -1, -2).conj())
-    w, U = jnp.linalg.eigh(H)
+    if eigh_fn is None:
+        eigh_fn = jnp.linalg.eigh
+    w, U = eigh_fn(H)
     w = jnp.real(w)
     ok = jnp.abs(w) >= cutoff
     sq = jnp.where(ok, jnp.sqrt(jnp.clip(w, 0.0, None)), 0.0)
@@ -340,10 +342,17 @@ class LatticeEngine:
     :meth:`expect_1site`.
     """
 
-    def __init__(self, psi: TensorNetworkState, chi: int, dtype=jnp.complex64, device=None):
+    def __init__(self, psi: TensorNetworkState, chi: int, dtype=jnp.complex64, device=None, factor_method: str = "auto"):
         self.plan = LatticePlan.build(psi.graph)
         self.chi = int(chi)
         self.dtype = dtype
+        if factor_method == "auto":
+            # LAPACK QR/SVD is exact and fast on CPU; on TPU the iterative
+            # XLA lowerings dominate the step, so use the MXU matmul forms
+            factor_method = "direct" if jax.default_backend() == "cpu" else "gram"
+        if factor_method not in ("direct", "gram"):
+            raise ValueError(f"unknown factor_method {factor_method!r}")
+        self.factor_method = factor_method
         sinds = psi.siteinds()
         dims = {s.dim for v in psi.vertices() for s in sinds[v]}
         if len(dims) != 1:
@@ -504,7 +513,12 @@ class LatticeEngine:
         Winv [B, k-1, chi, chi])."""
         B = A.shape[0]
         chi, d = self.chi, self.d
-        W, Winv = _pseudo_sqrt_roots(envs, self.sqrt_cutoff)
+        eigh_fn = None
+        if self.factor_method == "gram":
+            from .ops.factorizations import default_eigh
+
+            eigh_fn = default_eigh(chi)
+        W, Winv = _pseudo_sqrt_roots(envs, self.sqrt_cutoff, eigh_fn=eigh_fn)
         for j in range(k - 1):
             A = _absorb_message(A, W[:, j], axis=2 + j)
         # [B, d, e1..e_{k-1}, a] -> [B, e..., d, a] -> [B, R, d*a]
@@ -512,7 +526,16 @@ class LatticeEngine:
         A = jnp.transpose(A, perm)
         R_env = chi ** (k - 1)
         A = A.reshape(B, R_env, d * chi)
-        Q, Rfac = jnp.linalg.qr(A)
+        if R_env <= d * chi:
+            # wide case: QR reduces nothing (r = R_env already); skip it
+            Q = jnp.broadcast_to(jnp.eye(R_env, dtype=A.dtype), (B, R_env, R_env))
+            Rfac = A
+        elif self.factor_method == "gram":
+            from .ops.factorizations import cholesky_qr
+
+            Q, Rfac = cholesky_qr(A)
+        else:
+            Q, Rfac = jnp.linalg.qr(A)
         return Q, Rfac, Winv
 
     def _unreduce(self, Q: Array, R_new: Array, Winv: Array, k: int):
@@ -552,7 +575,12 @@ class LatticeEngine:
             gates = gates.astype(M.dtype)
         theta = jnp.einsum("Bxdye,Bpqde->Bxpyq", theta, gates)
         theta_mat = theta.reshape(Bn, ru * d, rv * d)
-        U, s, Vh = _svd_fallback(theta_mat)
+        if self.factor_method == "gram":
+            from .ops.factorizations import gram_svd
+
+            U, s, Vh = gram_svd(theta_mat)
+        else:
+            U, s, Vh = _svd_fallback(theta_mat)
         s_m, mask, err = _truncate_mask(s.astype(self.real_dtype), chi, cutoff)
         K = s.shape[1]
         if K >= chi:

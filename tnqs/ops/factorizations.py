@@ -1,0 +1,111 @@
+"""MXU-friendly batched factorizations for the compiled engine.
+
+XLA lowers QR/SVD/eigh on TPU to iterative algorithms (blocked Householder,
+QDWH) that spend most of their time off the MXU; at the engine's sizes
+([B, 4096, 128] QR, [B, 128..256] SVD) they dominate the layer step.  These
+replacements recast the work as dense matmuls:
+
+* :func:`cholesky_qr` — shifted CholeskyQR2: Gram matmul + Cholesky +
+  triangular solve, twice.  Orthogonality ~machine-eps after the second
+  round; a trace-scaled shift keeps the Cholesky positive-definite for the
+  rank-deficient inputs the padded engine produces (zero-padded bond
+  columns).
+* :func:`gram_svd` — SVD via the hermitian eigendecomposition of the Gram
+  matrix on the smaller side.  Singular values below ~sqrt(eps)*smax lose
+  relative accuracy — exactly the tail the engine truncates anyway.
+
+Both are used by `tnqs.engine` when `factor_method="gram"` (the default on
+TPU); `"direct"` keeps `jnp.linalg` (LAPACK on CPU, where it is both exact
+and fast).  Reference for what these must reproduce: truncated
+`factorize_svd` / QR simple-update semantics
+(`/root/reference/src/Apply/simple_update.jl:47-60`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _eps_of(dtype) -> float:
+    return float(np.finfo(np.zeros((), np.dtype(dtype)).real.dtype).eps)
+
+
+def cholesky_qr(A: Array, rounds: int = 2) -> tuple[Array, Array]:
+    """Thin QR of A [..., m, n] (m >= n) via shifted CholeskyQR^rounds.
+
+    Returns (Q [..., m, n], R [..., n, n]) with A ~= Q @ R.  Handles
+    rank-deficient A: the shift regularizes the Gram matrix, so Q picks an
+    arbitrary orthonormal completion on the null space and R carries
+    near-zero rows there (same contract as Householder QR up to phase)."""
+    m, n = A.shape[-2], A.shape[-1]
+    eps = _eps_of(A.dtype)
+    R_total = None
+    Q = A
+    for it in range(rounds):
+        G = jnp.einsum("...ji,...jk->...ik", jnp.conj(Q), Q)
+        # Small trace-relative shift: keeps the Cholesky positive-definite on
+        # the exactly-null directions the padded engine produces while
+        # perturbing live singular values by O(eps)·||A||^2 only.  (The
+        # literature's f64 shift constant ~11(mn+n²)u is ~0.7 at f32 for
+        # m=4096 — unusably large.)
+        tr = jnp.real(jnp.trace(G, axis1=-2, axis2=-1))[..., None, None]
+        shift = (8.0 * eps) * tr + eps * eps
+        G = G + shift.astype(G.dtype) * jnp.eye(n, dtype=G.dtype)
+        L = jnp.linalg.cholesky(G)  # G = L L^H
+        # Q <- Q L^{-H}: transpose to conj(L) X^T = Q^T (conj(L)^T = L^H)
+        Qt = jax.scipy.linalg.solve_triangular(
+            jnp.conj(L), jnp.swapaxes(Q, -1, -2), lower=True
+        )
+        Q = jnp.swapaxes(Qt, -1, -2)
+        Rk = jnp.conj(jnp.swapaxes(L, -1, -2))  # upper triangular
+        R_total = Rk if R_total is None else jnp.einsum("...ij,...jk->...ik", Rk, R_total)
+    return Q, R_total
+
+
+def default_eigh(n: int):
+    """Pick the eigh backend for n-dim hermitian batches: the Pallas Jacobi
+    kernel on TPU for supported sizes, XLA's QDWH otherwise."""
+    if jax.default_backend() != "cpu" and n % 2 == 0 and 8 <= n <= 128:
+        from .jacobi import jacobi_eigh
+
+        return jacobi_eigh
+    return jnp.linalg.eigh
+
+
+def gram_svd(A: Array, eigh_fn=None) -> tuple[Array, Array, Array]:
+    """Thin SVD of A [..., m, n] via eigh of the smaller-side Gram matrix.
+
+    Returns (U [..., m, k], s [..., k], Vh [..., k, n]) with k = min(m, n),
+    singular values descending.  `eigh_fn` defaults to `jnp.linalg.eigh`
+    (ascending eigenvalues) and can be swapped for the Pallas Jacobi kernel."""
+    m, n = A.shape[-2], A.shape[-1]
+    if eigh_fn is None:
+        eigh_fn = default_eigh(min(m, n))
+    eps = _eps_of(A.dtype)
+    if m <= n:
+        G = jnp.einsum("...ik,...jk->...ij", A, jnp.conj(A))  # A A^H  [m,m]
+        w, U = eigh_fn(G)
+        w = jnp.real(w[..., ::-1])
+        U = U[..., ::-1]
+        s = jnp.sqrt(jnp.clip(w, 0.0, None))
+        smax = s[..., :1]
+        inv = jnp.where(s > (eps * 8.0) * smax, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+        Vh = inv[..., :, None].astype(A.dtype) * jnp.einsum(
+            "...jm,...jn->...mn", jnp.conj(U), A
+        )
+        return U, s, Vh
+    G = jnp.einsum("...ki,...kj->...ij", jnp.conj(A), A)  # A^H A  [n,n]
+    w, V = eigh_fn(G)
+    w = jnp.real(w[..., ::-1])
+    V = V[..., ::-1]
+    s = jnp.sqrt(jnp.clip(w, 0.0, None))
+    smax = s[..., :1]
+    inv = jnp.where(s > (eps * 8.0) * smax, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+    U = jnp.einsum("...mn,...nk->...mk", A, V) * inv[..., None, :].astype(A.dtype)
+    Vh = jnp.conj(jnp.swapaxes(V, -1, -2))
+    return U, s, Vh
