@@ -31,13 +31,16 @@ if not _os.environ.get("TNQS_NO_X64"):
 
     _jax.config.update("jax_enable_x64", True)
 
-# TPU matmuls default to bf16 passes, which is catastrophic for gauging /
-# Gram factorizations (1e-2 relative errors, NaNs in Cholesky).  Physics
-# needs true f32 accumulation; opt into speed explicitly where safe.
-if not _os.environ.get("TNQS_FAST_MATMUL"):
+# TPU matmuls default to single-pass bf16, which is catastrophic for
+# gauging / Gram factorizations (1e-2 relative errors, NaNs in Cholesky).
+# Physics needs f32-accurate accumulation.  TNQS_MATMUL_PRECISION selects
+# the policy: "highest" (exact f32), "high" (bf16_3x, ~1e-6 relative,
+# faster), or "default" (raw bf16 — benchmarking only).
+_prec = _os.environ.get("TNQS_MATMUL_PRECISION", "highest")
+if _prec != "default":
     import jax as _jax
 
-    _jax.config.update("jax_default_matmul_precision", "highest")
+    _jax.config.update("jax_default_matmul_precision", _prec)
 
 # -- core tensor layer --------------------------------------------------
 from .core.index import Index, noprime, prime, sim

@@ -80,14 +80,35 @@ class LatticePlan:
         for v in vertices:
             for u in neighbor_order[v]:
                 edge_ids[(v, u)] = len(edge_ids)
-        # BP sweep groups: by (deg(src), slot of edge at src)
+        # Stage the sweep by bipartite source color when possible: a fully
+        # synchronous (Jacobi) update ping-pongs on bipartite graphs (every
+        # lattice here), stalling the convergence check; updating color-0
+        # sources then color-1 sources (Gauss-Seidel in two stages) restores
+        # the sequential sweep's geometric convergence while staying batched.
+        color = {vertices[0]: 0}
+        stack = [vertices[0]]
+        bipartite = True
+        while stack:
+            u = stack.pop()
+            for w in neighbor_order[u]:
+                if w not in color:
+                    color[w] = 1 - color[u]
+                    stack.append(w)
+                elif color[w] == color[u]:
+                    bipartite = False
+        for v in vertices:  # disconnected safety
+            if v not in color:
+                color[v] = 0
+        if not bipartite:
+            color = {v: 0 for v in vertices}
+        # BP sweep groups: by (source color, deg(src), slot of edge at src)
         groups: dict = {}
         for (u, v), eid in edge_ids.items():
             k = degrees[u]
             t = neighbor_order[u].index(v)
-            groups.setdefault((k, t), []).append((u, v, eid))
+            groups.setdefault((color[u], k, t), []).append((u, v, eid))
         bp_groups = []
-        for (k, t), items in sorted(groups.items()):
+        for (cu, k, t), items in sorted(groups.items()):
             src_pos = np.array([bucket_pos[u][1] for (u, v, eid) in items], dtype=np.int32)
             out_eids = np.array([eid for (u, v, eid) in items], dtype=np.int32)
             other_slots = [j for j in range(k) if j != t]
@@ -98,7 +119,7 @@ class LatticePlan:
                 ],
                 dtype=np.int32,
             ).reshape(len(items), k - 1)
-            bp_groups.append((k, t, src_pos, out_eids, in_eids, other_slots))
+            bp_groups.append((cu, k, t, src_pos, out_eids, in_eids, other_slots))
         return LatticePlan(
             graph=graph,
             vertices=vertices,
@@ -424,30 +445,35 @@ class LatticeEngine:
 
     # -- BP sweep -------------------------------------------------------
     def _bp_new_messages(self, T: dict, M: Array) -> Array:
-        """One synchronous BP update of every directed message."""
+        """One BP iteration: batched within each (color, degree, slot) group,
+        staged over bipartite source colors (Gauss-Seidel between stages)."""
         plan = self.plan
-        chi = self.chi
-        out = jnp.zeros_like(M)
-        for (k, t, src_pos, out_eids, in_eids, other_slots) in plan.bp_groups:
-            A = T[k][src_pos]  # [B, d, chi x k]
-            for col, j in enumerate(other_slots):
-                Mj = M[in_eids[:, col]]
-                A = _absorb_message(A, Mj, axis=2 + j)
-            # contract with conj(T) over site + all bra axes except slot t
-            Tc = jnp.conj(T[k][src_pos])
-            a_sub = ["B", "s"] + [chr(ord("a") + j) for j in range(k)]
-            b_sub = ["B", "s"] + [chr(ord("a") + j) for j in range(k)]
-            a_sub[2 + t] = "i"
-            b_sub[2 + t] = "j"
-            expr = f"{''.join(a_sub)},{''.join(b_sub)}->Bij"
-            m_new = jnp.einsum(expr, A, Tc)
-            # sum-normalize (reference `updated_message`,
-            # `abstractbeliefpropagationcache.jl:183-187`)
-            norm = jnp.sum(m_new, axis=(1, 2), keepdims=True)
-            safe = jnp.where(jnp.abs(norm) > 0, norm, 1.0)
-            m_new = m_new / safe
-            out = out.at[out_eids].set(m_new)
-        return out
+        stages = sorted({g[0] for g in plan.bp_groups})
+        for stage in stages:
+            out = M
+            for (cu, k, t, src_pos, out_eids, in_eids, other_slots) in plan.bp_groups:
+                if cu != stage:
+                    continue
+                A = T[k][src_pos]  # [B, d, chi x k]
+                for col, j in enumerate(other_slots):
+                    Mj = M[in_eids[:, col]]
+                    A = _absorb_message(A, Mj, axis=2 + j)
+                # contract with conj(T) over site + all bra axes except slot t
+                Tc = jnp.conj(T[k][src_pos])
+                a_sub = ["B", "s"] + [chr(ord("a") + j) for j in range(k)]
+                b_sub = ["B", "s"] + [chr(ord("a") + j) for j in range(k)]
+                a_sub[2 + t] = "i"
+                b_sub[2 + t] = "j"
+                expr = f"{''.join(a_sub)},{''.join(b_sub)}->Bij"
+                m_new = jnp.einsum(expr, A, Tc)
+                # sum-normalize (reference `updated_message`,
+                # `abstractbeliefpropagationcache.jl:183-187`)
+                norm = jnp.sum(m_new, axis=(1, 2), keepdims=True)
+                safe = jnp.where(jnp.abs(norm) > 0, norm, 1.0)
+                m_new = m_new / safe
+                out = out.at[out_eids].set(m_new)
+            M = out  # stage barrier: later colors read updated messages
+        return M
 
     def bp_update(self, maxiter: int = 30, tolerance: float | None = None):
         """Run synchronous BP to convergence (jitted while_loop)."""

@@ -4,25 +4,34 @@ XLA lowers `eigh` on TPU to QDWH + spectral divide-and-conquer — accurate,
 but latency-heavy for the engine's shapes (batches of 64..256-dim hermitian
 matrices: bond environments and Gram matrices of two-site updates).  This
 kernel instead runs the classic Brent–Luk parallel Jacobi scheme entirely in
-VMEM, one matrix per grid program:
+VMEM.
 
-* the matrix is kept in 2x2 block-pair layout: four [m, m] tiles (n = 2m);
-  pair *i* is (row i of the top half, row i of the bottom half), so all m
-  rotations of a round apply as *elementwise broadcasts* over whole tiles —
-  no gathers, pure VPU work;
-* one round annihilates the m pair elements `H01[i, i]`; the round-robin
-  tournament permutation between rounds is a static slice/concat of tile
-  rows/columns; n-1 rounds visit every index pair exactly once (one sweep),
-  and the permutation returns to the identity at the end of each sweep;
-* complex values ride as separate real/imag f32 planes (TPU-native layout);
-  rotations are complex Givens `J = [[c, -s̄],[s, c]]` with the stable
-  small-root tangent formula;
-* off-diagonal mass decays quadratically: `sweeps=10` reaches ~f32 accuracy
-  for n <= 256 (validated against numpy in the test suite).
+Design points:
 
-`jacobi_eigh` returns eigenvalues ascending and the eigenvector matrix,
-matching `jnp.linalg.eigh`'s contract, and is the default `eigh_fn` for
-`tnqs.ops.gram_svd` on TPU.
+* 2x2 block-pair layout: four [m, m] tiles per matrix (n = 2m); pair *i* is
+  (row i of the top half, row i of the bottom half), so all m rotations of a
+  round apply as elementwise broadcasts over whole tiles — no gathers;
+* the rotation *schedule* is data-independent, so the whole batch rides as a
+  leading tile axis ([Bc, m, m]) and one program sweeps every matrix of its
+  chunk simultaneously: `sweeps*(n-1)` sequential rounds TOTAL per chunk,
+  not per matrix (a TPU TensorCore runs grid programs sequentially, so
+  per-matrix grids pay the round latency B times);
+* the grid chunks the batch only to respect VMEM (chunk size chosen so the
+  working set stays ~4MB);
+* the round-robin tournament permutation between rounds is a static
+  slice/concat of tile rows/columns; n-1 rounds visit every pair exactly
+  once and return the layout to the identity at the end of each sweep;
+* complex values ride as separate real/imag f32 planes; rotations are
+  complex Givens `J = [[c, -s̄],[s, c]]` with the stable small-root tangent;
+* `sweeps=8` reaches ~f32 accuracy for n <= 256 (validated vs numpy).
+
+`jacobi_eigh` matches `jnp.linalg.eigh`'s contract (ascending eigenvalues)
+and is the default `eigh_fn` for `tnqs.ops.gram_svd` on TPU.
+
+Mosaic/tunnel gotchas encoded here: the kernel runs under
+`jax.enable_x64(False)` because x64 turns grid index-map constants into
+int64, which SIGABRTs the Mosaic compiler; loop bounds are explicit int32;
+reshapes never split or fuse the lane dimension.
 """
 
 from __future__ import annotations
@@ -49,8 +58,8 @@ Array = jax.Array
 def _rot_params(a, b, gr, gi, eps):
     """Stable complex-Jacobi rotation annihilating gamma = H[p, q].
 
-    a, b: real diagonals [m]; returns (c, sr, si): c real, s complex with
-    J = [[c, -conj(s)], [s, c]] diagonalizing [[a, g], [conj(g), b]]."""
+    Inputs [Bc, m].  Returns (c, sr, si): J = [[c, -conj(s)], [s, c]]
+    diagonalizes [[a, g], [conj(g), b]]."""
     absg = jnp.sqrt(gr * gr + gi * gi)
     safe = absg > eps
     ga = jnp.where(safe, absg, 1.0)
@@ -69,34 +78,44 @@ def _rot_params(a, b, gr, gi, eps):
     return c, sr, si
 
 
-def _diag(x):
-    m = x.shape[-1]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
-    return jnp.sum(jnp.where(rows == cols, x, 0.0), axis=1)
-
-
-def _make_kernel(m: int, n_rows: int, sweeps: int, eps: float):
-    """Kernel over refs: 8 H tiles [m, m], 4 W tiles [n_rows, m], evals [1, n]."""
+def _make_kernel(m: int, sweeps: int, eps: float):
+    """Kernel refs: 8 H tiles [Bc, m, m], 4 W tiles [Bc, n, m],
+    2 eval tiles [Bc, 1, m]."""
+    n = 2 * m
 
     def kernel(
         i00r, i00i, i01r, i01i, i10r, i10i, i11r, i11i, iw0r, iw0i, iw1r, iw1i,
         o00r, o00i, o01r, o01i, o10r, o10i, o11r, o11i, ow0r, ow0i, ow1r, ow1i,
-        evals,
+        ev_top, ev_bot,
     ):
-        n = 2 * m
+        ii = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+        dmask = (ii == jj)[None]
+
+        def blockdiag(x):  # [Bc, m, m] -> [Bc, m]
+            return jnp.sum(jnp.where(dmask, x, 0.0), axis=2)
+
+        def prow(t, bm):
+            nt = jnp.concatenate([t[:, 0:1], bm[:, 0:1], t[:, 1 : m - 1]], axis=1)
+            nb = jnp.concatenate([bm[:, 1:m], t[:, m - 1 : m]], axis=1)
+            return nt, nb
+
+        def pcol(l, r):
+            nl = jnp.concatenate([l[..., 0:1], r[..., 0:1], l[..., 1 : m - 1]], axis=2)
+            nr = jnp.concatenate([r[..., 1:m], l[..., m - 1 : m]], axis=2)
+            return nl, nr
 
         def round_body(_, carry):
             (h00r, h00i, h01r, h01i, h10r, h10i, h11r, h11i, w0r, w0i, w1r, w1i) = carry
-            a = _diag(h00r)
-            b = _diag(h11r)
-            gr = _diag(h01r)
-            gi = _diag(h01i)
+            a = blockdiag(h00r)
+            b = blockdiag(h11r)
+            gr = blockdiag(h01r)
+            gi = blockdiag(h01i)
             c, sr, si = _rot_params(a, b, gr, gi, eps)
 
-            cc = c[:, None]
-            srr = sr[:, None]
-            sii = si[:, None]
+            cc = c[:, :, None]
+            srr = sr[:, :, None]
+            sii = si[:, :, None]
 
             def rowmix(tr, ti, br, bi):
                 # top' = c*top + conj(s)*bot ; bot' = -s*top + c*bot
@@ -109,9 +128,9 @@ def _make_kernel(m: int, n_rows: int, sweeps: int, eps: float):
             h00r, h00i, h10r, h10i = rowmix(h00r, h00i, h10r, h10i)
             h01r, h01i, h11r, h11i = rowmix(h01r, h01i, h11r, h11i)
 
-            cr = c[None, :]
-            scr = sr[None, :]
-            sci = si[None, :]
+            cr = c[:, None, :]
+            scr = sr[:, None, :]
+            sci = si[:, None, :]
 
             def colmix(lr, li, rr, ri):
                 # left' = c*left + s*right ; right' = -conj(s)*left + c*right
@@ -124,17 +143,6 @@ def _make_kernel(m: int, n_rows: int, sweeps: int, eps: float):
             h00r, h00i, h01r, h01i = colmix(h00r, h00i, h01r, h01i)
             h10r, h10i, h11r, h11i = colmix(h10r, h10i, h11r, h11i)
             w0r, w0i, w1r, w1i = colmix(w0r, w0i, w1r, w1i)
-
-            # tournament permutation (rows and columns move identically)
-            def prow(t, bm):
-                nt = jnp.concatenate([t[0:1], bm[0:1], t[1 : m - 1]], axis=0)
-                nb = jnp.concatenate([bm[1:m], t[m - 1 : m]], axis=0)
-                return nt, nb
-
-            def pcol(l, r):
-                nl = jnp.concatenate([l[:, 0:1], r[:, 0:1], l[:, 1 : m - 1]], axis=1)
-                nr = jnp.concatenate([r[:, 1:m], l[:, m - 1 : m]], axis=1)
-                return nl, nr
 
             h00r, h10r = prow(h00r, h10r)
             h00i, h10i = prow(h00i, h10i)
@@ -149,35 +157,45 @@ def _make_kernel(m: int, n_rows: int, sweeps: int, eps: float):
             return (h00r, h00i, h01r, h01i, h10r, h10i, h11r, h11i, w0r, w0i, w1r, w1i)
 
         carry = (
-            i00r[0], i00i[0], i01r[0], i01i[0],
-            i10r[0], i10i[0], i11r[0], i11i[0],
-            iw0r[0], iw0i[0], iw1r[0], iw1i[0],
+            i00r[:], i00i[:], i01r[:], i01i[:],
+            i10r[:], i10i[:], i11r[:], i11i[:],
+            iw0r[:], iw0i[:], iw1r[:], iw1i[:],
         )
-        # int32 bounds: under jax_enable_x64 a python-int bound makes the
-        # loop index int64, which Mosaic cannot lower (compiler SIGABRT)
+
+        # int32 bounds: python-int/x64 int64 bounds abort the Mosaic compiler
         carry = jax.lax.fori_loop(
             jnp.int32(0), jnp.int32(sweeps * (n - 1)), round_body, carry
         )
         (h00r, h00i, h01r, h01i, h10r, h10i, h11r, h11i, w0r, w0i, w1r, w1i) = carry
-        o00r[0] = h00r
-        o00i[0] = h00i
-        o01r[0] = h01r
-        o01i[0] = h01i
-        o10r[0] = h10r
-        o10i[0] = h10i
-        o11r[0] = h11r
-        o11i[0] = h11i
-        ow0r[0] = w0r
-        ow0i[0] = w0i
-        ow1r[0] = w1r
-        ow1i[0] = w1i
-        evals[0, 0, :] = jnp.concatenate([_diag(h00r), _diag(h11r)])
+        o00r[:] = h00r
+        o00i[:] = h00i
+        o01r[:] = h01r
+        o01i[:] = h01i
+        o10r[:] = h10r
+        o10i[:] = h10i
+        o11r[:] = h11r
+        o11i[:] = h11i
+        ow0r[:] = w0r
+        ow0i[:] = w0i
+        ow1r[:] = w1r
+        ow1i[:] = w1i
+        ev_top[:] = blockdiag(h00r)[:, None, :]
+        ev_bot[:] = blockdiag(h11r)[:, None, :]
 
     return kernel
 
 
+def _chunk_size(m: int, n: int) -> int:
+    """Batch chunk per grid program.  Pallas double-buffers every in/out
+    block and the loop carry lives alongside, so the per-program footprint
+    is ~5x the raw tile bytes; budget ~1MB of tiles to stay inside VMEM."""
+    per_matrix_bytes = (12 * m * m + 8 * n * m) * 4
+    bc = max(1, (1 << 20) // per_matrix_bytes)
+    return int(min(bc, 256))
+
+
 @partial(jax.jit, static_argnames=("sweeps", "interpret"))
-def jacobi_eigh(H: Array, sweeps: int = 10, interpret: bool = False):
+def jacobi_eigh(H: Array, sweeps: int = 8, interpret: bool = False):
     """Eigendecomposition of batched hermitian H [..., n, n] (n even).
 
     Returns (w ascending [..., n], V [..., n, n]) with
@@ -190,62 +208,63 @@ def jacobi_eigh(H: Array, sweeps: int = 10, interpret: bool = False):
     B = int(np.prod(batch_shape)) if batch_shape else 1
     if B == 0:
         return jnp.linalg.eigh(H)
+    Bc = _chunk_size(m, n)
+    G = -(-B // Bc)
+    Bp = G * Bc
     Hb = H.reshape(B, n, n)
     Hb = 0.5 * (Hb + jnp.swapaxes(Hb, -1, -2).conj())
     complex_in = jnp.iscomplexobj(H)
     hr = jnp.real(Hb).astype(jnp.float32)
     hi = jnp.imag(Hb).astype(jnp.float32) if complex_in else jnp.zeros_like(hr)
-    tiles = {
-        "00": (hr[:, :m, :m], hi[:, :m, :m]),
-        "01": (hr[:, :m, m:], hi[:, :m, m:]),
-        "10": (hr[:, m:, :m], hi[:, m:, :m]),
-        "11": (hr[:, m:, m:], hi[:, m:, m:]),
-    }
+    if Bp != B:
+        pad = ((0, Bp - B), (0, 0), (0, 0))
+        hr = jnp.pad(hr, pad)
+        hi = jnp.pad(hi, pad)
+    args = []
+    for blk in ((slice(0, m), slice(0, m)), (slice(0, m), slice(m, n)),
+                (slice(m, n), slice(0, m)), (slice(m, n), slice(m, n))):
+        args.append(hr[:, blk[0], blk[1]])
+        args.append(hi[:, blk[0], blk[1]])
     eye = jnp.eye(n, dtype=jnp.float32)
-    w0r = jnp.broadcast_to(eye[:, :m], (B, n, m))
-    w1r = jnp.broadcast_to(eye[:, m:], (B, n, m))
-    wz = jnp.zeros((B, n, m), jnp.float32)
+    wz = jnp.zeros((Bp, n, m), jnp.float32)
+    args += [
+        jnp.broadcast_to(eye[:, :m], (Bp, n, m)), wz,
+        jnp.broadcast_to(eye[:, m:], (Bp, n, m)), wz,
+    ]
 
     eps = float(np.finfo(np.float32).eps)
-    kern = _make_kernel(m, n, sweeps, eps)
+    kern = _make_kernel(m, sweeps, eps)
 
     def spec(shape):
         kwargs = {}
         if _HAVE_PLTPU and not interpret:
             kwargs["memory_space"] = pltpu.VMEM
-        return pl.BlockSpec((1,) + shape, lambda i: (i,) + (0,) * len(shape), **kwargs)
+        return pl.BlockSpec((Bc,) + shape, lambda i: (i,) + (0,) * len(shape), **kwargs)
 
     hspec = spec((m, m))
     wspec = spec((n, m))
-    espec = spec((1, n))
-    # disable_x64 around the kernel: under jax_enable_x64 the grid index-map
-    # constants become int64, which the Mosaic compiler cannot lower (observed
-    # as a compiler-process SIGABRT); every dtype here is explicit f32/int32
+    espec = spec((1, m))
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             kern,
-            grid=(B,),
+            grid=(G,),
             in_specs=[hspec] * 8 + [wspec] * 4,
-            out_specs=tuple([hspec] * 8 + [wspec] * 4 + [espec]),
+            out_specs=tuple([hspec] * 8 + [wspec] * 4 + [espec, espec]),
             out_shape=tuple(
-                [jax.ShapeDtypeStruct((B, m, m), jnp.float32)] * 8
-                + [jax.ShapeDtypeStruct((B, n, m), jnp.float32)] * 4
-                + [jax.ShapeDtypeStruct((B, 1, n), jnp.float32)]
+                [jax.ShapeDtypeStruct((Bp, m, m), jnp.float32)] * 8
+                + [jax.ShapeDtypeStruct((Bp, n, m), jnp.float32)] * 4
+                + [jax.ShapeDtypeStruct((Bp, 1, m), jnp.float32)] * 2
             ),
             interpret=interpret,
-        )(
-            tiles["00"][0], tiles["00"][1], tiles["01"][0], tiles["01"][1],
-            tiles["10"][0], tiles["10"][1], tiles["11"][0], tiles["11"][1],
-            w0r, wz, w1r, wz,
-        )
-    wr0, wi0, wr1, wi1 = outs[8], outs[9], outs[10], outs[11]
-    w = outs[12][:, 0, :]
+        )(*args)
+
+    wr = jnp.concatenate([outs[8], outs[10]], axis=2)[:B]
+    wi = jnp.concatenate([outs[9], outs[11]], axis=2)[:B]
+    w = jnp.concatenate([outs[12][:, 0, :], outs[13][:, 0, :]], axis=1)[:B]
     if complex_in:
-        V = jax.lax.complex(
-            jnp.concatenate([wr0, wr1], axis=2), jnp.concatenate([wi0, wi1], axis=2)
-        ).astype(H.dtype)
+        V = jax.lax.complex(wr, wi).astype(H.dtype)
     else:
-        V = jnp.concatenate([wr0, wr1], axis=2).astype(H.dtype)
+        V = wr.astype(H.dtype)
     order = jnp.argsort(w, axis=1)
     w = jnp.take_along_axis(w, order, axis=1)
     V = jnp.take_along_axis(V, order[:, None, :], axis=2)
