@@ -271,13 +271,15 @@ def compile_circuit(plan: LatticePlan, circuit: Sequence, d: int = 2) -> list:
 # kernels (all shapes static; called inside jit)
 # ----------------------------------------------------------------------
 
-def _absorb_message(A: Array, M: Array, axis: int) -> Array:
+def _absorb_message(A: Array, M: Array, axis: int, precision=None) -> Array:
     """Contract the ket bond `axis` of batched tensor A with message M.
 
     A: [B, ..., chi@axis, ...]; M: [B, chi, chi] as (ket, out)."""
     A = jnp.moveaxis(A, axis, -1)
-    A = jnp.einsum("...i,Bij->...j", A, M) if A.ndim == 2 else jnp.einsum(
-        "B...i,Bij->B...j", A, M
+    A = (
+        jnp.einsum("...i,Bij->...j", A, M, precision=precision)
+        if A.ndim == 2
+        else jnp.einsum("B...i,Bij->B...j", A, M, precision=precision)
     )
     return jnp.moveaxis(A, -1, axis)
 
@@ -374,6 +376,11 @@ class LatticeEngine:
         if factor_method not in ("direct", "gram"):
             raise ValueError(f"unknown factor_method {factor_method!r}")
         self.factor_method = factor_method
+        # Precision of the BP message sweeps, the step's FLOPs hot spot
+        # (~70% at chi=64).  None inherits the global policy (highest);
+        # "high" (bf16_3x) is ~3x faster per sweep — validated to stay
+        # within the 1e-5 observable tolerance on the oracle checks.
+        self.bp_precision = None
         sinds = psi.siteinds()
         dims = {s.dim for v in psi.vertices() for s in sinds[v]}
         if len(dims) != 1:
@@ -448,6 +455,7 @@ class LatticeEngine:
         """One BP iteration: batched within each (color, degree, slot) group,
         staged over bipartite source colors (Gauss-Seidel between stages)."""
         plan = self.plan
+        prec = self.bp_precision
         stages = sorted({g[0] for g in plan.bp_groups})
         for stage in stages:
             out = M
@@ -457,7 +465,7 @@ class LatticeEngine:
                 A = T[k][src_pos]  # [B, d, chi x k]
                 for col, j in enumerate(other_slots):
                     Mj = M[in_eids[:, col]]
-                    A = _absorb_message(A, Mj, axis=2 + j)
+                    A = _absorb_message(A, Mj, axis=2 + j, precision=prec)
                 # contract with conj(T) over site + all bra axes except slot t
                 Tc = jnp.conj(T[k][src_pos])
                 a_sub = ["B", "s"] + [chr(ord("a") + j) for j in range(k)]
@@ -465,7 +473,7 @@ class LatticeEngine:
                 a_sub[2 + t] = "i"
                 b_sub[2 + t] = "j"
                 expr = f"{''.join(a_sub)},{''.join(b_sub)}->Bij"
-                m_new = jnp.einsum(expr, A, Tc)
+                m_new = jnp.einsum(expr, A, Tc, precision=prec)
                 # sum-normalize (reference `updated_message`,
                 # `abstractbeliefpropagationcache.jl:183-187`)
                 norm = jnp.sum(m_new, axis=(1, 2), keepdims=True)
@@ -537,14 +545,19 @@ class LatticeEngine:
         """Gauge + QR-reduce one side: A [B, d, chi x (k-1), chi_active],
         envs [B, k-1, chi, chi].  Returns (Q [B, R, r], Rfac [B, r, d*chi],
         Winv [B, k-1, chi, chi])."""
-        B = A.shape[0]
-        chi, d = self.chi, self.d
         eigh_fn = None
         if self.factor_method == "gram":
             from .ops.factorizations import default_eigh
 
             eigh_fn = default_eigh(chi)
         W, Winv = _pseudo_sqrt_roots(envs, self.sqrt_cutoff, eigh_fn=eigh_fn)
+        Q, Rfac = self._reduce_with(A, W, k)
+        return Q, Rfac, Winv
+
+    def _reduce_with(self, A: Array, W: Array, k: int):
+        """QR-reduce one gauged side given precomputed env sqrts."""
+        B = A.shape[0]
+        chi, d = self.chi, self.d
         for j in range(k - 1):
             A = _absorb_message(A, W[:, j], axis=2 + j)
         # [B, d, e1..e_{k-1}, a] -> [B, e..., d, a] -> [B, R, d*a]
@@ -562,7 +575,7 @@ class LatticeEngine:
             Q, Rfac = cholesky_qr(A)
         else:
             Q, Rfac = jnp.linalg.qr(A)
-        return Q, Rfac, Winv
+        return Q, Rfac
 
     def _unreduce(self, Q: Array, R_new: Array, Winv: Array, k: int):
         """Recombine Q [B, R_env, r] with R_new [B, r, d*chi], un-gauge, and
@@ -607,6 +620,123 @@ class LatticeEngine:
             U, s, Vh = gram_svd(theta_mat)
         else:
             U, s, Vh = _svd_fallback(theta_mat)
+        return self._finish_two_site(
+            T, M, errors, cls, U, s, Vh, Qu, Qv, Winv_u, Winv_v, ru, rv, Bn,
+            cutoff, normalize,
+        )
+
+    def _apply_two_site_group(self, T: dict, M: Array, errors: Array, classes, gates_list, cutoff: float, normalize: bool):
+        """Apply one edge-color gate group with per-group batched
+        eigensolves: all bond environments (every class and side) go through
+        ONE pseudo-sqrt kernel call, and all same-size Gram matrices of the
+        truncated SVDs through ONE more — the Jacobi kernel's round latency
+        is paid per call, so consolidation across classes is the difference
+        between 6 and 2 launches per group."""
+        chi, d = self.chi, self.d
+        from .ops.factorizations import cholesky_qr, default_eigh
+
+        eps = float(np.finfo(self.real_dtype).eps)
+
+        # phase 1: gather sides + collect env matrices
+        env_bank = []
+        env_slices = []
+        pos = 0
+        gathered = []
+        for cls in classes:
+            Au = self._gather_permuted(T, cls.ku, cls.u_pos, cls.slot_u)
+            Av = self._gather_permuted(T, cls.kv, cls.v_pos, cls.slot_v)
+            Bn = len(cls.u_pos)
+            sl = []
+            for (k, eids) in ((cls.ku, cls.env_u_eids), (cls.kv, cls.env_v_eids)):
+                if k > 1:
+                    e = M[eids].reshape(-1, chi, chi)
+                    env_bank.append(e)
+                    sl.append((pos, e.shape[0], k))
+                    pos += e.shape[0]
+                else:
+                    sl.append(None)
+            gathered.append((cls, Au, Av, Bn, sl))
+
+        W_all = Winv_all = None
+        if env_bank:
+            E_all = jnp.concatenate(env_bank, axis=0)
+            W_all, Winv_all = _pseudo_sqrt_roots(
+                E_all, self.sqrt_cutoff, eigh_fn=default_eigh(chi)
+            )
+
+        # phase 2: per class, gauge + reduce + theta + Gram matrix
+        mids = []
+        gram_bank: dict = {}  # n -> list of (index into mids, G)
+        for ci, (cls, Au, Av, Bn, sl) in enumerate(gathered):
+            def env_w(slot, k):
+                if slot is None:
+                    return (
+                        jnp.zeros((Bn, 0, chi, chi), M.dtype),
+                        jnp.zeros((Bn, 0, chi, chi), M.dtype),
+                    )
+                start, count, kk = slot
+                return (
+                    W_all[start : start + count].reshape(Bn, k - 1, chi, chi),
+                    Winv_all[start : start + count].reshape(Bn, k - 1, chi, chi),
+                )
+
+            Wu, Winv_u = env_w(sl[0], cls.ku)
+            Wv, Winv_v = env_w(sl[1], cls.kv)
+            Qu, Ru = self._reduce_with(Au, Wu, cls.ku)
+            Qv, Rv = self._reduce_with(Av, Wv, cls.kv)
+            ru, rv = Ru.shape[1], Rv.shape[1]
+            Ru = Ru.reshape(Bn, ru, d, chi)
+            Rv = Rv.reshape(Bn, rv, d, chi)
+            theta = jnp.einsum("Bxda,Byea->Bxdye", Ru, Rv)
+            theta = jnp.einsum("Bxdye,Bpqde->Bxpyq", theta, gates_list[ci].astype(M.dtype))
+            theta_mat = theta.reshape(Bn, ru * d, rv * d)
+            m_, n_ = ru * d, rv * d
+            small = min(m_, n_)
+            if m_ <= n_:
+                G = jnp.einsum("bik,bjk->bij", theta_mat, jnp.conj(theta_mat))
+            else:
+                G = jnp.einsum("bki,bkj->bij", jnp.conj(theta_mat), theta_mat)
+            gram_bank.setdefault(small, []).append((ci, G))
+            mids.append((cls, theta_mat, Qu, Qv, Winv_u, Winv_v, ru, rv, Bn))
+
+        # phase 3: ONE eigh per Gram size
+        eig_results: dict = {}
+        for n_small, items in gram_bank.items():
+            Gs = jnp.concatenate([G for (_, G) in items], axis=0)
+            w, V = default_eigh(n_small)(Gs)
+            ofs = 0
+            for (ci, G) in items:
+                b = G.shape[0]
+                eig_results[ci] = (w[ofs : ofs + b], V[ofs : ofs + b])
+                ofs += b
+
+        # phase 4: complete the SVD algebra, truncate, write back
+        for ci, (cls, theta_mat, Qu, Qv, Winv_u, Winv_v, ru, rv, Bn) in enumerate(mids):
+            m_, n_ = ru * d, rv * d
+            w, V = eig_results[ci]
+            w = jnp.real(w[..., ::-1])
+            V = V[..., ::-1]
+            s = jnp.sqrt(jnp.clip(w, 0.0, None))
+            smax = s[..., :1]
+            inv = jnp.where(s > (eps * 8.0) * smax, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+            if m_ <= n_:
+                U = V
+                Vh = inv[..., :, None].astype(M.dtype) * jnp.einsum(
+                    "bjm,bjn->bmn", jnp.conj(U), theta_mat
+                )
+            else:
+                Vh = jnp.conj(jnp.swapaxes(V, -1, -2))
+                U = jnp.einsum("bmn,bnk->bmk", theta_mat, V) * inv[..., None, :].astype(M.dtype)
+            T, M, errors = self._finish_two_site(
+                T, M, errors, cls, U, s, Vh, Qu, Qv, Winv_u, Winv_v, ru, rv, Bn,
+                cutoff, normalize,
+            )
+        return T, M, errors
+
+    def _finish_two_site(self, T, M, errors, cls, U, s, Vh, Qu, Qv, Winv_u, Winv_v, ru, rv, Bn, cutoff, normalize):
+        """Shared tail of the two-site update: truncation, recombination,
+        gauge removal, scatter, and singular-value message writeback."""
+        chi, d = self.chi, self.d
         s_m, mask, err = _truncate_mask(s.astype(self.real_dtype), chi, cutoff)
         K = s.shape[1]
         if K >= chi:
@@ -621,11 +751,10 @@ class LatticeEngine:
         rs = jnp.sqrt(s_m).astype(M.dtype)
         Ru_new = U * rs[:, None, :]
         Rv_new = rs[:, :, None] * Vh
-        # reshape Ru_new [B, ru*d, chi] -> [B, ru, d*chi]
         Ru_new = Ru_new.reshape(Bn, ru, d, chi).reshape(Bn, ru, d * chi)
         Rv_new = jnp.swapaxes(Rv_new, 1, 2).reshape(Bn, rv, d, chi).reshape(Bn, rv, d * chi)
-        Au_new = self._unreduce(Qu, Ru_new, Winv_u, ku)
-        Av_new = self._unreduce(Qv, Rv_new, Winv_v, kv)
+        Au_new = self._unreduce(Qu, Ru_new, Winv_u, cls.ku)
+        Av_new = self._unreduce(Qv, Rv_new, Winv_v, cls.kv)
         if normalize:
             def tnorm(A):
                 flat = A.reshape(Bn, -1)
@@ -634,8 +763,8 @@ class LatticeEngine:
 
             Au_new = tnorm(Au_new)
             Av_new = tnorm(Av_new)
-        T = self._scatter_permuted(T, ku, cls.u_pos, cls.slot_u, Au_new)
-        T = self._scatter_permuted(T, kv, cls.v_pos, cls.slot_v, Av_new)
+        T = self._scatter_permuted(T, cls.ku, cls.u_pos, cls.slot_u, Au_new)
+        T = self._scatter_permuted(T, cls.kv, cls.v_pos, cls.slot_v, Av_new)
         m_diag = jax.vmap(jnp.diag)(s_m.astype(M.dtype))
         M = M.at[cls.eid_uv].set(m_diag)
         M = M.at[cls.eid_vu].set(m_diag)
@@ -732,6 +861,10 @@ class LatticeEngine:
                     M = self._bp_fixed_point(T, M, bp_maxiter, bp_tolerance)
                 elif entry[0] == "one":
                     T = self._apply_one_site_group(T, entry[1], G[entry[2]])
+                elif self.factor_method == "gram":
+                    T, M, errors = self._apply_two_site_group(
+                        T, M, errors, entry[1].classes, G[entry[2]], cutoff, normalize
+                    )
                 else:
                     for ci, cls in enumerate(entry[1].classes):
                         T, M, errors = self._apply_two_site_class(

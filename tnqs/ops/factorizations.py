@@ -69,8 +69,9 @@ def cholesky_qr(A: Array, rounds: int = 2) -> tuple[Array, Array]:
 
 def default_eigh(n: int):
     """Pick the eigh backend for n-dim hermitian batches: the Pallas Jacobi
-    kernel on TPU for supported sizes, XLA's QDWH otherwise."""
-    if jax.default_backend() != "cpu" and n % 2 == 0 and 8 <= n <= 128:
+    kernel on TPU for supported sizes (sub-32 matrices break Mosaic's
+    sublane slicing and are cheap for QDWH anyway), XLA's QDWH otherwise."""
+    if jax.default_backend() != "cpu" and n % 2 == 0 and 32 <= n <= 256:
         from .jacobi import jacobi_eigh
 
         return jacobi_eigh
