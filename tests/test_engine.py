@@ -79,3 +79,16 @@ def test_engine_one_site_composition():
     z_eng = eng.expect_1site("Z")[(1, 1)]
     z_flex = tnqs.expect(psif, ("Z", (1, 1)), alg="bp")
     assert abs(z_eng - z_flex) < 1e-9
+
+
+def test_engine_expect_2site_matches_flex(tfim_setup):
+    g, psi, layer = tfim_setup
+    eng = LatticeEngine(psi, chi=4, dtype=jnp.complex128)
+    eng.bp_update(maxiter=20)
+    eng.evolve(layer, num_layers=2, cutoff=1e-10, bp_maxiter=20)
+    zz = eng.expect_2site("Z", "Z")
+    xy = eng.expect_2site("X", "Y")
+    bpc = eng.to_bp_cache()
+    for e in g.edges():
+        assert abs(zz[e] - tnqs.expect(bpc, ("ZZ", list(e)))) < 1e-10, e
+        assert abs(xy[e] - tnqs.expect(bpc, ("XY", list(e)))) < 1e-10, e
