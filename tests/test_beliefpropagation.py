@@ -108,3 +108,30 @@ def test_loop_corrections_improve_z(rng):
     z_bp = bpc.partitionfunction()
     z_lc = loopcorrected_partitionfunction(bpc, 4)
     assert abs(z_lc - exact) < abs(z_bp - exact)
+
+
+def test_native_loop_enumeration_matches_python():
+    """The C++ subgraph enumerator must agree exactly with the Python one."""
+    import tnqs.native as nat
+
+    if not nat.have_native():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    import tnqs
+
+    for g, mx in [
+        (tnqs.named_grid((3, 3)), 8),
+        (tnqs.named_ring_graph(6), 6),
+        (tnqs.named_grid((2, 2, 2)), 8),
+    ]:
+        a = tnqs.leafless_edge_induced_subgraphs(g, mx)
+        old = nat.LIB
+        nat.LIB = None
+        try:
+            b = tnqs.leafless_edge_induced_subgraphs(g, mx)
+        finally:
+            nat.LIB = old
+        sa = set(frozenset(frozenset(e) for e in s) for s in a)
+        sb = set(frozenset(frozenset(e) for e in s) for s in b)
+        assert sa == sb

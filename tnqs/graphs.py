@@ -654,7 +654,19 @@ def _connected_leafless_subgraphs(g: NamedGraph, max_edges: int) -> list[frozens
 def leafless_edge_induced_subgraphs(g: NamedGraph, max_edges: int) -> list[list[Edge]]:
     """All (possibly disconnected) leafless edge-induced subgraphs with at
     most `max_edges` edges, as lists of edges.  Built from connected leafless
-    subgraphs plus vertex-disjoint unions thereof."""
+    subgraphs plus vertex-disjoint unions thereof.  Uses the native (C++)
+    enumerator when available — the search is exponential in `max_edges`
+    (12s in Python vs <0.5s native for a 5x5 grid at W=10)."""
+    from . import native as _native
+
+    if _native.have_native():
+        verts = g.vertices()
+        vidx = {v: i for i, v in enumerate(verts)}
+        edge_list = g.edges()
+        pairs = [(vidx[u], vidx[v]) for (u, v) in edge_list]
+        subs = _native.leafless_subgraphs(len(verts), pairs, max_edges)
+        if subs is not None:
+            return [[edge_list[i] for i in es] for es in subs]
     connected = _connected_leafless_subgraphs(g, max_edges)
     results: set[frozenset] = set(map(frozenset, connected))
 

@@ -21,7 +21,7 @@ import subprocess
 import sys
 
 _DIR = pathlib.Path(__file__).resolve().parent
-_SRC = _DIR / "contract_opt.cpp"
+_SRCS = [_DIR / "contract_opt.cpp", _DIR / "loop_enum.cpp"]
 _SO = _DIR / "libtnqs_native.so"
 
 LIB = None
@@ -29,14 +29,19 @@ LIB = None
 
 def build(force: bool = False) -> bool:
     """Compile the native library.  Returns True if the .so is usable."""
-    if _SO.exists() and not force and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
+    if (
+        _SO.exists()
+        and not force
+        and all(_SO.stat().st_mtime >= s.stat().st_mtime for s in _SRCS)
+    ):
         return True
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", str(_SO), str(_SRC)],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", str(_SO)]
+            + [str(s) for s in _SRCS],
             check=True,
             capture_output=True,
-            timeout=120,
+            timeout=180,
         )
         return True
     except Exception as e:  # missing compiler, sandboxed fs, ...
@@ -65,6 +70,16 @@ def _load():
     ]
     lib.tnqs_greedy_order.restype = ctypes.c_int
     lib.tnqs_greedy_order.argtypes = lib.tnqs_optimal_order.argtypes
+    lib.tnqs_leafless_subgraphs.restype = ctypes.c_int64
+    lib.tnqs_leafless_subgraphs.argtypes = [
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     LIB = lib
 
 
@@ -164,3 +179,47 @@ def greedy_order(index_sets, dims) -> list | None:
         nodes[nid] = [nodes.pop(a), nodes.pop(b)]
         nid += 1
     return nodes[nid - 1]
+
+
+def leafless_subgraphs(n_vertices, edge_pairs, max_edges) -> list | None:
+    """Native enumeration of leafless edge-induced subgraphs.
+
+    `edge_pairs`: list of (u_idx, v_idx) int pairs over 0..n_vertices-1.
+    Returns a list of edge-index lists, or None if unavailable."""
+    import numpy as np
+
+    if LIB is None:
+        return None
+    ne = len(edge_pairs)
+    if ne == 0 or ne > 1024:
+        return None
+    edges = np.asarray(edge_pairs, dtype=np.int32).reshape(ne, 2)
+    cap = 1 << 20
+    while True:
+        out = np.zeros(cap, dtype=np.int32)
+        written = ctypes.c_int64(0)
+        rc = LIB.tnqs_leafless_subgraphs(
+            int(n_vertices),
+            ne,
+            edges.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            int(max_edges),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cap,
+            ctypes.byref(written),
+        )
+        if rc == -2:
+            cap *= 8
+            if cap > (1 << 28):
+                return None
+            continue
+        if rc < 0:
+            return None
+        break
+    result = []
+    pos = 0
+    for _ in range(rc):
+        cnt = int(out[pos])
+        pos += 1
+        result.append([int(x) for x in out[pos : pos + cnt]])
+        pos += cnt
+    return result
