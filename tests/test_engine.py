@@ -92,3 +92,25 @@ def test_engine_expect_2site_matches_flex(tfim_setup):
     for e in g.edges():
         assert abs(zz[e] - tnqs.expect(bpc, ("ZZ", list(e)))) < 1e-10, e
         assert abs(xy[e] - tnqs.expect(bpc, ("XY", list(e)))) < 1e-10, e
+
+
+def test_engine_imaginary_time_matches_flex():
+    """Non-unitary (imaginary-time) gates: the compiled tier agrees with the
+    flex tier to f32 truncation-path tolerance."""
+    g = tnqs.named_grid((3, 3))
+    tau = 0.1
+    layer = [("Rx", [v], -2j * tau * 0.7) for v in g.vertices()]
+    for grp in tnqs.edge_color(g):
+        layer += [("Rzz", list(e), -2j * tau) for e in grp]
+    psi = tnqs.tensornetworkstate(lambda v: [0.8, 0.6], g, "S=1/2", dtype=np.complex64)
+    bpc = tnqs.BeliefPropagationCache(psi)
+    for _ in range(4):
+        bpc, _ = tnqs.apply_gates(
+            layer, bpc, apply_kwargs=dict(maxdim=4, cutoff=1e-12, normalize_tensors=True)
+        )
+    eng = LatticeEngine(psi, chi=4, dtype=jnp.complex64)
+    eng.bp_update(maxiter=20)
+    eng.evolve(layer, num_layers=4, cutoff=1e-12, bp_maxiter=25)
+    z_eng = eng.expect_1site("Z")
+    for v in g.vertices():
+        assert abs(z_eng[v] - tnqs.expect(bpc, ("Z", v))) < 1e-3, v
