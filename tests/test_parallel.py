@@ -68,3 +68,36 @@ def test_sharded_heavyhex_irregular_buckets():
 def test_mesh_subset():
     mesh = make_mesh(4)
     assert mesh.devices.size == 4
+
+
+def test_halo_bp_matches_unsharded():
+    """shard_map BP with explicit ppermute halo exchange reaches the same
+    fixed point as the single-device sweep (f32 eps)."""
+    from tnqs.parallel.halo import HaloBP, HaloBandPlan
+    from tnqs.utils.transfer import device_get, device_put
+
+    g = tnqs.named_grid((8, 8))
+    psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+    layer = tfim_layer(g, J=0.5, hx=1.0, dt=0.25)
+    eng = LatticeEngine(psi, chi=4, dtype=jnp.complex64)
+    eng.bp_update(maxiter=10)
+    eng.evolve(layer, num_layers=2, cutoff=1e-10, bp_maxiter=10)
+    rng = np.random.default_rng(0)
+    M0 = device_get(eng.M)
+    M0 = M0 + 0.05 * (rng.normal(size=M0.shape) + 1j * rng.normal(size=M0.shape)).astype(M0.dtype)
+    eng.M = device_put(M0)
+    M_ref = device_get(eng._bp_fixed_point(eng.T, eng.M, 25, 1e-7))
+    hbp = HaloBP(eng, HaloBandPlan.build(eng.plan, 8), make_mesh(8))
+    hbp.fixed_point(maxiter=25, tolerance=1e-7)
+    M_halo = device_get(hbp.gather_messages())
+    assert np.max(np.abs(M_halo - M_ref)) < 1e-5
+
+
+def test_halo_rejects_nonadjacent_bands():
+    from tnqs.parallel.halo import HaloBandPlan
+    from tnqs.engine import LatticePlan
+
+    g = tnqs.named_ring_graph(12)  # ring wraps: first and last band touch
+    plan = LatticePlan.build(g)
+    with pytest.raises(ValueError, match="adjacent"):
+        HaloBandPlan.build(plan, 4)
