@@ -1,0 +1,74 @@
+"""Production evolution path: the compiled engine on the heavy-hex
+kicked-Ising benchmark, with mid-run checkpointing and on-device
+measurement — the TPU-native counterpart of
+`/root/reference/examples/heavyhexIsing_dynamics.jl` (see
+`examples/heavyhex_ising_dynamics.py` for the flex-tier version).
+"""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import os
+import tempfile
+import time
+
+import numpy as np
+
+import jax.numpy as jnp
+
+import tnqs
+from tnqs.engine import LatticeEngine
+from tnqs.models import heavy_hex_kicked_ising_layer
+
+FAST = bool(os.environ.get("TNQS_EXAMPLE_FAST"))
+
+
+def main():
+    nx, ny = (2, 2) if FAST else (5, 5)
+    chi = 4 if FAST else 64
+    steps = 2 if FAST else 20
+
+    g = tnqs.heavy_hexagonal_lattice(nx, ny)
+    print(f"heavy-hex lattice with {g.nv()} qubits, chi={chi}")
+    layer = heavy_hex_kicked_ising_layer(g, float(np.pi / 4), 0.4)
+    psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+
+    eng = LatticeEngine(psi, chi=chi, dtype=jnp.complex64)
+    step = eng.make_step(layer, cutoff=1e-12, bp_maxiter=25)
+
+    ckpt = pathlib.Path(tempfile.mkdtemp()) / "engine.npz"
+    t0 = time.time()
+    for i in range(1, steps + 1):
+        eng.T, eng.M, errors = step(eng.T, eng.M)
+        if i == steps // 2:
+            tnqs.save_engine(eng, ckpt)  # mid-run checkpoint
+    z = eng.expect_1site("Z")  # host fetch: forces the chain to completion
+    wall = time.time() - t0
+    print(f"{steps} layers in {wall:.1f}s ({steps / wall:.2f} layers/s)")
+
+    center = min(g.vertices(), key=lambda v: sum(abs(c) for c in np.subtract(v, np.mean([list(u) for u in g.vertices()], axis=0))))
+    print(f"<Z> at {center}: {np.real(z[center]):.6f}")
+    zz = eng.expect_2site("Z", "Z")
+    e0 = g.edges()[0]
+    print(f"<ZZ> on {e0}: {np.real(zz[e0]):.6f}")
+
+    # resume from the checkpoint and verify it replays to the same state
+    eng2 = tnqs.load_engine(ckpt)
+    step2 = eng2.make_step(layer, cutoff=1e-12, bp_maxiter=25)
+    for _ in range(steps - steps // 2):
+        eng2.T, eng2.M, _ = step2(eng2.T, eng2.M)
+    z2 = eng2.expect_1site("Z")
+    diff = max(abs(z[v] - z2[v]) for v in g.vertices())
+    print(f"checkpoint resume max <Z> deviation: {diff:.2e}")
+
+    # hand off to the flex tier for boundary-MPS measurement
+    psi_t = eng.to_state()
+    sz = tnqs.expect(psi_t, [("Z", [center])], alg="boundarymps",
+                     mps_bond_dimension=4 if FAST else 10)
+    print(f"boundary-MPS <Z> at {center}: {np.real(sz[0]):.6f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -18,6 +18,7 @@ SCRIPTS = [
     "heisenberg_picture_dynamics.py",
     "boundarymps_convergence.py",
     "loop_corrections.py",
+    "engine_heavyhex_production.py",
 ]
 
 
@@ -26,7 +27,10 @@ def test_example_runs(script):
     env = dict(os.environ)
     env["TNQS_EXAMPLE_FAST"] = "1"
     env["PYTHONPATH"] = str(EXAMPLES_DIR.parent) + os.pathsep + env.get("PYTHONPATH", "")
-    env.setdefault("JAX_PLATFORMS", "cpu")
+    # pin the subprocess to CPU: force both the env var and skip the
+    # tunneled-TPU sitecustomize registration (which overrides the var)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
     out = subprocess.run(
         [sys.executable, str(EXAMPLES_DIR / script)],
         env=env,
