@@ -114,3 +114,23 @@ def test_engine_imaginary_time_matches_flex():
     z_eng = eng.expect_1site("Z")
     for v in g.vertices():
         assert abs(z_eng[v] - tnqs.expect(bpc, ("Z", v))) < 1e-3, v
+
+
+def test_engine_tree_with_leaves():
+    """Degree-1 vertices (comb tree) through the compiled engine."""
+    g = tnqs.named_comb_tree((3, 3))
+    layer = [("Rx", [v], 0.3) for v in g.vertices()]
+    for grp in tnqs.edge_color(g):
+        layer += [("Rzz", list(e), 0.5) for e in grp]
+    psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+    bpc = tnqs.BeliefPropagationCache(psi)
+    for _ in range(3):
+        bpc, _ = tnqs.apply_gates(
+            layer, bpc, apply_kwargs=dict(maxdim=4, cutoff=1e-12, normalize_tensors=True)
+        )
+    eng = LatticeEngine(psi, chi=4, dtype=jnp.complex64)
+    eng.bp_update(maxiter=10)
+    eng.evolve(layer, num_layers=3, cutoff=1e-12, bp_maxiter=10)
+    z_eng = eng.expect_1site("Z")
+    for v in g.vertices():
+        assert abs(z_eng[v] - tnqs.expect(bpc, ("Z", v))) < 1e-5, v

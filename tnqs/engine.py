@@ -101,6 +101,30 @@ class LatticePlan:
                 color[v] = 0
         if not bipartite:
             color = {v: 0 for v in vertices}
+
+        # Order buckets color-0-first and renumber directed edges by
+        # (source color, source degree, slot): every BP group then reads a
+        # CONTIGUOUS bucket range and writes a CONTIGUOUS message range, so
+        # the sweep uses static slices instead of gathers/scatters over the
+        # large padded arrays.
+        buckets = {
+            k: sorted(vs, key=lambda v: (color[v],)) for k, vs in buckets.items()
+        }
+        bucket_pos = {}
+        for k, vs in buckets.items():
+            for i, v in enumerate(vs):
+                bucket_pos[v] = (k, i)
+        ordered_edges = sorted(
+            edge_ids.keys(),
+            key=lambda e: (
+                color[e[0]],
+                degrees[e[0]],
+                neighbor_order[e[0]].index(e[1]),
+                bucket_pos[e[0]][1],
+            ),
+        )
+        edge_ids = {e: i for i, e in enumerate(ordered_edges)}
+
         # BP sweep groups: by (source color, deg(src), slot of edge at src)
         groups: dict = {}
         for (u, v), eid in edge_ids.items():
@@ -462,12 +486,18 @@ class LatticeEngine:
             for (cu, k, t, src_pos, out_eids, in_eids, other_slots) in plan.bp_groups:
                 if cu != stage:
                     continue
-                A = T[k][src_pos]  # [B, d, chi x k]
+                # contiguous-by-construction bucket ranges: slice, not gather
+                lo, hi = int(src_pos[0]), int(src_pos[-1]) + 1
+                if hi - lo == len(src_pos):
+                    A = lax.slice_in_dim(T[k], lo, hi, axis=0)
+                else:  # irregular fallback
+                    A = T[k][src_pos]
+                Asrc = A
                 for col, j in enumerate(other_slots):
                     Mj = M[in_eids[:, col]]
                     A = _absorb_message(A, Mj, axis=2 + j, precision=prec)
                 # contract with conj(T) over site + all bra axes except slot t
-                Tc = jnp.conj(T[k][src_pos])
+                Tc = jnp.conj(Asrc)
                 a_sub = ["B", "s"] + [chr(ord("a") + j) for j in range(k)]
                 b_sub = ["B", "s"] + [chr(ord("a") + j) for j in range(k)]
                 a_sub[2 + t] = "i"
@@ -479,7 +509,11 @@ class LatticeEngine:
                 norm = jnp.sum(m_new, axis=(1, 2), keepdims=True)
                 safe = jnp.where(jnp.abs(norm) > 0, norm, 1.0)
                 m_new = m_new / safe
-                out = out.at[out_eids].set(m_new)
+                elo, ehi = int(out_eids[0]), int(out_eids[-1]) + 1
+                if ehi - elo == len(out_eids):
+                    out = lax.dynamic_update_slice_in_dim(out, m_new, elo, axis=0)
+                else:  # irregular fallback
+                    out = out.at[out_eids].set(m_new)
             M = out  # stage barrier: later colors read updated messages
         return M
 
