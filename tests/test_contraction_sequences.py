@@ -81,3 +81,26 @@ def test_optimal_beats_or_matches_worst_order(rng):
     seq = contraction_sequence(tensors, alg="optimal")
     val = contract(tensors, sequence=seq)
     assert val.ndim == len(legs)  # each leg leaves one dangling index
+
+
+def test_sa_optimizer_agrees(rng):
+    """The stochastic-annealing planner yields valid trees whose contraction
+    agrees with the optimal plan (the reference's cross-optimizer property,
+    `test/test_contraction_sequences.jl:48-52`)."""
+    import tnqs
+    from tnqs.contraction import contraction_sequence
+    from tnqs.core.tensor import contract
+
+    g = tnqs.named_comb_tree((3, 2))
+    psi = tnqs.random_tensornetworkstate(g, bond_dimension=2, dtype=np.complex128, rng=rng)
+    facs = []
+    for v in g.vertices():
+        t = psi[v]
+        bonds = [i for i in t.inds if i not in psi.siteinds(v)]
+        facs.append(t)
+        facs.append(t.dag().prime(only=bonds))
+    vals = []
+    for alg in ["optimal", "greedy", "sa", "treesa"]:
+        seq = contraction_sequence(facs, alg=alg)
+        vals.append(complex(contract(facs, seq).scalar()))
+    assert max(abs(v - vals[0]) for v in vals) < 1e-10 * abs(vals[0])

@@ -59,6 +59,17 @@ def contraction_sequence(tensors: Sequence[Tensor], alg: str = "optimal", **kwar
                 return seq
         if n <= _OPTIMAL_MAX:
             return _optimal_sequence(tensors)
+    if alg in ("sa", "treesa") and _native.have_native():
+        # stochastic greedy with restarts (TreeSA-class annealing search)
+        seq = _native.sa_order(
+            _index_sets(tensors),
+            _dims(tensors),
+            n_restarts=int(kwargs.get("n_restarts", 32)),
+            temperature=float(kwargs.get("temperature", 1.0)),
+            seed=int(kwargs.get("seed", 0)),
+        )
+        if seq is not None:
+            return seq
     if _native.have_native() and n >= _GREEDY_NATIVE_MIN:
         seq = _native.greedy_order(_index_sets(tensors), _dims(tensors))
         if seq is not None:

@@ -70,6 +70,18 @@ def _load():
     ]
     lib.tnqs_greedy_order.restype = ctypes.c_int
     lib.tnqs_greedy_order.argtypes = lib.tnqs_optimal_order.argtypes
+    lib.tnqs_sa_order.restype = ctypes.c_int
+    lib.tnqs_sa_order.argtypes = [
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+        ctypes.c_double,
+        ctypes.c_uint64,
+    ]
     lib.tnqs_leafless_subgraphs.restype = ctypes.c_int64
     lib.tnqs_leafless_subgraphs.argtypes = [
         ctypes.c_int32,
@@ -223,3 +235,42 @@ def leafless_subgraphs(n_vertices, edge_pairs, max_edges) -> list | None:
         result.append([int(x) for x in out[pos : pos + cnt]])
         pos += cnt
     return result
+
+
+def sa_order(index_sets, dims, n_restarts: int = 32, temperature: float = 1.0, seed: int = 0) -> list | None:
+    """Stochastic-greedy contraction tree with restarts (TreeSA-class)."""
+    import math
+
+    import numpy as np
+
+    if LIB is None:
+        return None
+    n = len(index_sets)
+    if n < 2:
+        return None
+    index_order = list(dims.keys())
+    masks, w, m = _pack_masks(index_sets, index_order)
+    logdims = np.zeros(w * 64, dtype=np.float64)
+    for p, i in enumerate(index_order):
+        logdims[p] = math.log(float(dims[i]))
+    out = np.zeros(2 * (n - 1), dtype=np.int32)
+    rc = LIB.tnqs_sa_order(
+        n,
+        w,
+        masks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        logdims.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        m,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        int(n_restarts),
+        float(temperature),
+        int(seed),
+    )
+    if rc != 0:
+        return None
+    nodes: dict[int, object] = {k: k + 1 for k in range(n)}
+    nid = n
+    for s in range(n - 1):
+        a, b = int(out[2 * s]), int(out[2 * s + 1])
+        nodes[nid] = [nodes.pop(a), nodes.pop(b)]
+        nid += 1
+    return nodes[nid - 1]

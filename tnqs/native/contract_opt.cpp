@@ -25,6 +25,7 @@
 #include <cstring>
 #include <vector>
 #include <cmath>
+#include <random>
 
 namespace {
 
@@ -152,6 +153,87 @@ int tnqs_greedy_order(int n, int w, const uint64_t* masks, const double* logdims
         live.erase(live.begin() + bj);
         ++step;
     }
+    return 0;
+}
+
+// Stochastic greedy with restarts (a practical stand-in for the
+// reference's TreeSA simulated-annealing optimizer,
+// OMEinsumContractionOrders re-exported at
+// `/root/reference/src/TensorNetworkQuantumSimulator.jl:87-93`): each
+// restart picks contraction pairs Boltzmann-randomly among the candidates,
+// keeping the tree with the smallest total contraction cost.  Returns 0 on
+// success; out_pairs as in tnqs_greedy_order.
+int tnqs_sa_order(int n, int w, const uint64_t* masks, const double* logdims,
+                  int m, int32_t* out_pairs, int32_t n_restarts,
+                  double temperature, uint64_t seed) {
+    if (n < 2 || w < 1 || n_restarts < 1) return -1;
+    std::mt19937_64 rng(seed);
+    std::vector<int32_t> best(2 * (n - 1));
+    double best_cost = 1e300;
+    std::vector<int32_t> cur(2 * (n - 1));
+    struct Node { std::vector<uint64_t> r; int id; };
+    std::vector<uint64_t> tmp(w);
+
+    for (int rs = 0; rs < n_restarts; ++rs) {
+        std::vector<Node> live(n);
+        for (int k = 0; k < n; ++k) {
+            live[k].r.assign(&masks[size_t(k) * w], &masks[size_t(k) * w] + w);
+            live[k].id = k;
+        }
+        int next_id = n, step = 0;
+        double total = 0.0;
+        while ((int)live.size() > 1) {
+            // candidate pairs sharing an index, scored by log result size
+            std::vector<std::pair<double, std::pair<int, int>>> cands;
+            for (size_t a = 0; a < live.size(); ++a)
+                for (size_t b = a + 1; b < live.size(); ++b) {
+                    bool share = false;
+                    for (int j = 0; j < w; ++j)
+                        if (live[a].r[j] & live[b].r[j]) { share = true; break; }
+                    if (!share) continue;
+                    for (int j = 0; j < w; ++j) tmp[j] = live[a].r[j] ^ live[b].r[j];
+                    cands.push_back({mask_logsize(tmp.data(), w, logdims),
+                                     {(int)a, (int)b}});
+                }
+            int bi, bj;
+            if (cands.empty()) {
+                bi = 0; bj = 1;
+            } else {
+                double mn = cands[0].first;
+                for (auto& c : cands) mn = std::min(mn, c.first);
+                std::vector<double> wts(cands.size());
+                double tot = 0;
+                for (size_t i = 0; i < cands.size(); ++i) {
+                    wts[i] = std::exp(-(cands[i].first - mn) /
+                                      std::max(temperature, 1e-9));
+                    tot += wts[i];
+                }
+                std::uniform_real_distribution<double> U(0.0, tot);
+                double x = U(rng);
+                size_t pick = 0;
+                for (; pick + 1 < cands.size(); ++pick) {
+                    if (x < wts[pick]) break;
+                    x -= wts[pick];
+                }
+                bi = cands[pick].second.first;
+                bj = cands[pick].second.second;
+            }
+            // step cost = size of the union of open sets
+            for (int j = 0; j < w; ++j) tmp[j] = live[bi].r[j] | live[bj].r[j];
+            total += std::exp(mask_logsize(tmp.data(), w, logdims));
+            cur[2 * step] = live[bi].id;
+            cur[2 * step + 1] = live[bj].id;
+            for (int j = 0; j < w; ++j) live[bi].r[j] ^= live[bj].r[j];
+            live[bi].id = next_id++;
+            live.erase(live.begin() + bj);
+            ++step;
+        }
+        if (total < best_cost) {
+            best_cost = total;
+            best = cur;
+        }
+    }
+    std::memcpy(out_pairs, best.data(), sizeof(int32_t) * 2 * (n - 1));
     return 0;
 }
 
