@@ -66,7 +66,18 @@ class LatticePlan:
     bp_groups: list  # [(k, t, src_pos [B], out_eids [B], in_eids [B, k-1], in_slots [k-1])]
 
     @staticmethod
-    def build(graph: NamedGraph) -> "LatticePlan":
+    def build(graph: NamedGraph, bp_schedule: str = "wavefront") -> "LatticePlan":
+        """`bp_schedule` controls the sweep staging:
+
+        - "wavefront": directed edges staged by BFS depth from a central
+          root — leaf-to-root then root-to-leaf, same-depth (loop) edges by
+          bipartite color in between.  One sweep equals a sequential
+          forest-cover sweep (exact on trees in a single iteration,
+          reference `beliefpropagationcache.jl:27-29`), at the price of
+          ~2*diameter smaller batched stages.
+        - "color": two Gauss-Seidel stages by bipartite source color —
+          maximal batches, more iterations to converge.
+        """
         vertices = graph.vertices()
         neighbor_order = {v: graph.neighbors(v) for v in vertices}
         degrees = {v: len(neighbor_order[v]) for v in vertices}
@@ -102,22 +113,61 @@ class LatticePlan:
         if not bipartite:
             color = {v: 0 for v in vertices}
 
-        # Order buckets color-0-first and renumber directed edges by
-        # (source color, source degree, slot): every BP group then reads a
-        # CONTIGUOUS bucket range and writes a CONTIGUOUS message range, so
-        # the sweep uses static slices instead of gathers/scatters over the
-        # large padded arrays.
-        buckets = {
-            k: sorted(vs, key=lambda v: (color[v],)) for k, vs in buckets.items()
-        }
+        # stage assignment per directed edge
+        if bp_schedule == "wavefront":
+            from .graphs import center as _graph_center
+
+            try:
+                root = _graph_center(graph)[0]
+            except Exception:
+                root = vertices[0]
+            depth = {root: 0}
+            frontier = [root]
+            while frontier:
+                nxt = []
+                for u in frontier:
+                    for w in neighbor_order[u]:
+                        if w not in depth:
+                            depth[w] = depth[u] + 1
+                            nxt.append(w)
+                frontier = nxt
+            for v in vertices:
+                depth.setdefault(v, 0)
+            dmax = max(depth.values())
+
+            def stage_of(u, v):
+                du, dv = depth[u], depth[v]
+                if du > dv:  # toward the root: deepest sources first
+                    return dmax - du
+                if du == dv:  # loop ties, between the two phases
+                    return dmax + color[u]
+                return dmax + 2 + du  # away from the root
+
+            bucket_key = lambda v: (depth[v], color[v])
+        elif bp_schedule == "color":
+
+            def stage_of(u, v):
+                return color[u]
+
+            bucket_key = lambda v: (color[v],)
+        else:
+            raise ValueError(f"unknown bp_schedule {bp_schedule!r}")
+
+        # Order buckets so every (stage, degree, slot) BP group reads a
+        # CONTIGUOUS bucket range and writes a CONTIGUOUS message range:
+        # the sweep then uses static slices instead of gathers/scatters
+        # over the large padded arrays.
+        buckets = {k: sorted(vs, key=bucket_key) for k, vs in buckets.items()}
         bucket_pos = {}
         for k, vs in buckets.items():
             for i, v in enumerate(vs):
                 bucket_pos[v] = (k, i)
+
+        stage = {e: stage_of(*e) for e in edge_ids}
         ordered_edges = sorted(
             edge_ids.keys(),
             key=lambda e: (
-                color[e[0]],
+                stage[e],
                 degrees[e[0]],
                 neighbor_order[e[0]].index(e[1]),
                 bucket_pos[e[0]][1],
@@ -125,12 +175,12 @@ class LatticePlan:
         )
         edge_ids = {e: i for i, e in enumerate(ordered_edges)}
 
-        # BP sweep groups: by (source color, deg(src), slot of edge at src)
+        # BP sweep groups: by (stage, deg(src), slot of edge at src)
         groups: dict = {}
         for (u, v), eid in edge_ids.items():
             k = degrees[u]
             t = neighbor_order[u].index(v)
-            groups.setdefault((color[u], k, t), []).append((u, v, eid))
+            groups.setdefault((stage[(u, v)], k, t), []).append((u, v, eid))
         bp_groups = []
         for (cu, k, t), items in sorted(groups.items()):
             src_pos = np.array([bucket_pos[u][1] for (u, v, eid) in items], dtype=np.int32)
@@ -389,8 +439,8 @@ class LatticeEngine:
     :meth:`expect_1site`.
     """
 
-    def __init__(self, psi: TensorNetworkState, chi: int, dtype=jnp.complex64, device=None, factor_method: str = "auto"):
-        self.plan = LatticePlan.build(psi.graph)
+    def __init__(self, psi: TensorNetworkState, chi: int, dtype=jnp.complex64, device=None, factor_method: str = "auto", bp_schedule: str = "wavefront"):
+        self.plan = LatticePlan.build(psi.graph, bp_schedule=bp_schedule)
         self.chi = int(chi)
         self.dtype = dtype
         if factor_method == "auto":
