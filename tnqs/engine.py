@@ -9,11 +9,12 @@ refreshes — into one XLA program over padded dense arrays:
 * site tensors are stacked per vertex degree: ``T[k]`` has shape
   ``[n_k, d, chi, ..., chi]`` (k bond axes, zero-padded to the bond cap);
 * BP messages are one array ``M[2E, chi, chi]`` keyed by directed edge id;
-* a BP sweep is a synchronous (Jacobi) update batched over all directed
-  edges, iterated under `lax.while_loop` on the mean message fidelity — the
-  same fixed point as the reference's sequential sweeps
-  (`src/MessagePassing/abstractbeliefpropagationcache.jl:204-218`), reached
-  in parallel instead of in order;
+* a BP sweep is a staged Gauss-Seidel update batched within each
+  (stage, degree, slot) group — stages follow a BFS-depth wavefront by
+  default (one sweep equals a sequential forest-cover sweep, exact on
+  trees) — iterated under `lax.while_loop` on the mean message fidelity:
+  the same fixed point as the reference's sequential sweeps
+  (`src/MessagePassing/abstractbeliefpropagationcache.jl:204-218`);
 * a 2-site gate group (one edge-color class, all gates commuting) is a
   single batched kernel: batched hermitian eig of the bond environments,
   sqrt-gauging, batched QR reduction, gate contraction on the MXU, batched
@@ -880,7 +881,7 @@ class LatticeEngine:
         normalize: bool = True,
         bp_maxiter: int = 30,
         bp_tolerance: float | None = None,
-        bp_inner_maxiter: int = 4,
+        bp_inner_maxiter: int = 2,
     ):
         """Compile a circuit layer into one jitted function
         ``(T, M) -> (T, M, errors)``.
