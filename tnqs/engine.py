@@ -412,18 +412,18 @@ def _svd_fallback(mat: Array):
 def _scatter_rows(Tk: Array, pos, updates: Array) -> Array:
     """Write `updates` [B, ...] into rows `pos` of `Tk` [n, ...].
 
-    Implemented as a one-hot matmul + select instead of `Tk.at[pos].set`:
-    XLA's scatter materializes whole update rows in scoped VMEM (24MB+ at
-    chi=64, past the 16MB limit), while a [n, B] x [B, F] matmul tiles onto
-    the MXU with bounded VMEM.  Positions must be unique."""
+    The positions are STATIC (plan data), so the scatter inverts into a
+    static row gather + select — exact and single-pass, where XLA's
+    `at[pos].set` scatter blows the 16MB scoped-VMEM limit on 24MB update
+    rows at chi=64 and a one-hot matmul pays the multi-pass f32 precision
+    tax.  Positions must be unique."""
     n = Tk.shape[0]
-    pos = jnp.asarray(pos)
-    B = updates.shape[0]
-    oh = (jnp.arange(n, dtype=pos.dtype)[:, None] == pos[None, :])
-    placed = jnp.matmul(oh.astype(Tk.dtype), updates.reshape(B, -1))
-    sel = jnp.any(oh, axis=1)
-    out = jnp.where(sel[:, None], placed, Tk.reshape(n, -1))
-    return out.reshape(Tk.shape)
+    pos = np.asarray(pos)
+    inv = np.full((n,), -1, dtype=np.int32)
+    inv[pos] = np.arange(len(pos), dtype=np.int32)
+    gathered = updates[jnp.asarray(np.clip(inv, 0, None))]
+    sel = jnp.asarray((inv >= 0).reshape((n,) + (1,) * (Tk.ndim - 1)))
+    return jnp.where(sel, gathered, Tk)
 
 
 # ----------------------------------------------------------------------
