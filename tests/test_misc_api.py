@@ -122,3 +122,32 @@ def test_topology_and_list_constructors(rng):
     z = tnqs.contract(tn, alg="exact")
     ref = np.einsum("ab,bc,ca->", *[np.asarray(t.data) for t in ts])
     assert abs(complex(z) - ref) < 1e-10
+
+
+def test_eagle_lattice_is_ibm_eagle_geometry():
+    """127 qubits / 144 couplers, heavy-hex degree profile of ibm_washington
+    (the lattice of reference `examples/heavyhexIsing_dynamics.jl`'s paper)."""
+    from collections import Counter
+
+    g = tnqs.eagle_lattice()
+    assert g.nv() == 127
+    assert g.ne() == 144
+    deg = Counter(len(g.neighbors(v)) for v in g.vertices())
+    assert deg == {2: 89, 3: 36, 1: 2}
+    assert tnqs.is_connected(g)
+
+
+def test_edge_color_bipartite_is_optimal_and_k_contract():
+    # heavy-hex lattices are subdivided graphs -> bipartite -> Delta-colorable
+    for g in (tnqs.eagle_lattice(), tnqs.heavy_hexagonal_lattice(3, 3)):
+        groups = tnqs.edge_color(g, 3)
+        assert len(groups) == 3
+        assert sum(len(c) for c in groups) == g.ne()
+        for c in groups:  # proper: each class is a matching
+            touched = [v for e in c for v in e]
+            assert len(touched) == len(set(touched))
+    # num_colors is a contract: raise when unsatisfiable (odd cycle needs 3)
+    c5 = tnqs.named_ring_graph(5)
+    assert len(tnqs.edge_color(c5)) == 3
+    with pytest.raises(ValueError):
+        tnqs.edge_color(c5, 2)

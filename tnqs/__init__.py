@@ -76,6 +76,7 @@ from .graphs import (
     build_graph_from_circuit,
     build_graph_from_gates,
     center,
+    eagle_lattice,
     edge_color,
     forest_cover,
     forest_cover_edge_sequence,

@@ -437,20 +437,102 @@ def _axis_parity_edge_color(g: NamedGraph) -> list[list[Edge]] | None:
     return [groups[k] for k in sorted(groups.keys())]
 
 
+def _bipartition(g: NamedGraph) -> dict | None:
+    """2-color the vertices by BFS, or None if the graph has an odd cycle."""
+    side: dict = {}
+    for s in g.vertices():
+        if s in side:
+            continue
+        side[s] = 0
+        queue = [s]
+        while queue:
+            v = queue.pop()
+            for u in g.neighbors(v):
+                if u not in side:
+                    side[u] = 1 - side[v]
+                    queue.append(u)
+                elif side[u] == side[v]:
+                    return None
+    return side
+
+
+def _koenig_edge_color(g: NamedGraph) -> dict | None:
+    """Δ-edge-coloring of a bipartite graph (Kőnig's theorem, constructive
+    alternating-path proof).  Returns {frozenset(edge): color} or None if the
+    graph is not bipartite."""
+    if _bipartition(g) is None:
+        return None
+    delta = max((len(g.neighbors(v)) for v in g.vertices()), default=0)
+    # at[v][c] = neighbor joined to v by a c-colored edge (or absent)
+    at: dict = {v: {} for v in g.vertices()}
+
+    def free(v) -> int:
+        for c in range(delta):
+            if c not in at[v]:
+                return c
+        raise AssertionError("no free color at vertex")  # pragma: no cover
+
+    color: dict = {}
+    for (u, v) in g.edges():
+        cu, cv = free(u), free(v)
+        if cu != cv:
+            # flip the maximal cu/cv alternating path starting at v with a
+            # cu edge; in a bipartite graph it cannot reach u (u sits on the
+            # wrong side for every cu arrival and has no cu edge), so after
+            # the flip cu is free at both endpoints.
+            path = []
+            at_v, want = v, cu
+            while want in at[at_v]:
+                nxt = at[at_v][want]
+                path.append((at_v, nxt, want))
+                at_v, want = nxt, (cv if want == cu else cu)
+            for a, b, c in path:
+                del at[a][c]
+                del at[b][c]
+            for a, b, c in path:
+                newc = cv if c == cu else cu
+                color[frozenset((a, b))] = newc
+                at[a][newc] = b
+                at[b][newc] = a
+        fs = frozenset((u, v))
+        color[fs] = cu
+        at[u][cu] = v
+        at[v][cu] = u
+    return color
+
+
 def edge_color(g: NamedGraph, num_colors: int | None = None) -> list[list[Edge]]:
     """Proper edge coloring: partition edges into matchings.
 
-    Uses the Misra–Gries constructive proof of Vizing's theorem, guaranteeing
-    at most Δ+1 colors; on the bipartite lattices used in practice it
-    typically achieves Δ.  Replaces `SimpleGraphAlgorithms.edge_color`
-    (`src/imports.jl:9`, used for commuting-gate batching,
-    `docs/src/gates.md:20-28`).  `num_colors` is accepted for API parity; the
-    result may use fewer colors, and will only exceed it if the graph is not
-    `num_colors`-edge-colorable by Misra–Gries.  For integer-coordinate
-    lattices a structured axis/parity coloring (exactly Δ colors on open
-    grids) is tried first.
+    Bipartite graphs (every lattice used in practice: grids, hex, heavy-hex,
+    Lieb, combs — edge subdivision preserves bipartiteness) get an exact
+    Δ-coloring via Kőnig's alternating-path construction; otherwise the
+    Misra–Gries proof of Vizing's theorem guarantees ≤ Δ+1.  Replaces
+    `SimpleGraphAlgorithms.edge_color` (`src/imports.jl:9`, used for
+    commuting-gate batching, `docs/src/gates.md:20-28`).  Like the
+    reference's `edge_color(g, k)`, if `num_colors` is given and the
+    construction needs more colors, a ValueError is raised rather than
+    silently regrouping.  For integer-coordinate lattices a structured
+    axis/parity coloring (exactly Δ colors on open grids) is tried first.
     """
     structured = _axis_parity_edge_color(g)
+    kcol = _koenig_edge_color(g)
+    if kcol is not None:
+        ncol = 1 + max(kcol.values(), default=-1)
+        kgroups: list[list[Edge]] = [[] for _ in range(ncol)]
+        for e in g.edges():
+            kgroups[kcol[frozenset(e)]].append(e)
+        kgroups = [gr for gr in kgroups if gr]
+        for gr in kgroups:
+            touched = [v for e in gr for v in e]
+            assert len(touched) == len(set(touched))
+        if structured is not None and len(structured) <= len(kgroups):
+            kgroups = structured
+        if num_colors is not None and len(kgroups) > num_colors:
+            raise ValueError(
+                f"graph is not {num_colors}-edge-colorable (needs {len(kgroups)})"
+            )
+        return kgroups
     color: dict[frozenset, int] = {}
 
     def colors_at(v) -> set:
@@ -532,7 +614,11 @@ def edge_color(g: NamedGraph, num_colors: int | None = None) -> list[list[Edge]]
         if len(touched) != len(set(touched)):  # pragma: no cover
             raise AssertionError("edge_color produced an improper coloring")
     if structured is not None and len(structured) <= len(groups):
-        return structured
+        groups = structured
+    if num_colors is not None and len(groups) > num_colors:
+        raise ValueError(
+            f"graph is not {num_colors}-edge-colorable (needs {len(groups)})"
+        )
     return groups
 
 
@@ -785,6 +871,44 @@ def heavy_hexagonal_lattice(nx_: int, ny_: int) -> NamedGraph:
         out.add_edge(u, mid)
         out.add_edge(mid, v)
     return out
+
+
+def eagle_lattice() -> NamedGraph:
+    """IBM Eagle 127-qubit heavy-hex coupling graph (ibm_washington /
+    ibm_kyiv family) — the lattice of the kicked-Ising utility experiment
+    simulated by the reference (Tindall et al., PRX Quantum 5, 010308
+    (2024); reference `examples/heavyhexIsing_dynamics.jl`,
+    `README.md:277`): 127 vertices, 144 edges.
+
+    Unlike ``heavy_hexagonal_lattice(nx, ny)`` (reference
+    `src/graph_ops.jl:6-18`, rectangular hex patch — 164 qubits at (5,5)),
+    the Eagle device clips the boundary rows: qubit rows 1 and 13 have 14
+    sites (columns 1-14 and 2-15 respectively), interior rows 3,5,7,9,11
+    have 15, and the six connector rows between them have 4 qubits each,
+    below columns {1,5,9,13} or {3,7,11,15} alternately.  Vertices are
+    1-based ``(row, col)`` tuples; row parity odd = chain rows, even =
+    connector rows.
+    """
+    g = NamedGraph([])
+    # chain rows (0-based row index 0..12 even), then 1-base the names
+    row_cols = {0: range(0, 14), 12: range(1, 15)}
+    for r in (2, 4, 6, 8, 10):
+        row_cols[r] = range(0, 15)
+    for r, cols in row_cols.items():
+        cols = list(cols)
+        for c in cols:
+            g.add_vertex((r + 1, c + 1))
+        for c in cols[:-1]:
+            g.add_edge((r + 1, c + 1), (r + 1, c + 2))
+    # connector rows: 1,5,9 attach at columns {0,4,8,12}; 3,7,11 at {2,6,10,14}
+    for r in (1, 3, 5, 7, 9, 11):
+        attach = (0, 4, 8, 12) if r % 4 == 1 else (2, 6, 10, 14)
+        for c in attach:
+            g.add_vertex((r + 1, c + 1))
+            g.add_edge((r, c + 1), (r + 1, c + 1))
+            g.add_edge((r + 1, c + 1), (r + 2, c + 1))
+    assert g.nv() == 127 and g.ne() == 144
+    return g
 
 
 def lieb_lattice(nx_: int, ny_: int, periodic: bool = False) -> NamedGraph:

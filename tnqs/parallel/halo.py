@@ -35,7 +35,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..engine import LatticeEngine, LatticePlan, _absorb_message
 
@@ -301,13 +304,15 @@ class HaloBP:
             return Ml[None]
 
         specs_T = {k: P(self.axis) for k in self.Tb}
-        return shard_map(
-            sweep,
+        kwargs = dict(
             mesh=self.mesh,
             in_specs=(specs_T, P(self.axis)),
             out_specs=P(self.axis),
-            check_rep=False,
         )
+        try:  # jax >= 0.8 renamed check_rep -> check_vma
+            return shard_map(sweep, check_vma=False, **kwargs)
+        except TypeError:  # pragma: no cover - older jax
+            return shard_map(sweep, check_rep=False, **kwargs)
 
     def fixed_point(self, maxiter: int = 25, tolerance: float = 1e-5):
         """Run sweeps to convergence; convergence diff reduced with psum."""
