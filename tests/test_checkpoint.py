@@ -91,6 +91,33 @@ def test_engine_roundtrip(tmp_path):
         assert np.isclose(z1[v], z2[v])
 
 
+def test_engine_roundtrip_color_schedule(tmp_path):
+    """bp_schedule='color' orders edge ids/buckets differently than the
+    default 'wavefront'; the checkpoint must restore the same plan or the
+    packed rows come back silently permuted (ADVICE r1, medium)."""
+    import jax.numpy as jnp
+
+    from tnqs.engine import LatticeEngine
+    from tnqs.models import heavy_hex_kicked_ising_layer
+
+    g = tnqs.heavy_hexagonal_lattice(2, 2)
+    psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+    layer = heavy_hex_kicked_ising_layer(g, float(np.pi / 4), 0.4)
+    eng = LatticeEngine(
+        psi, chi=4, dtype=jnp.complex64, bp_schedule="color", factor_method="direct"
+    )
+    eng.evolve(layer, num_layers=2, cutoff=1e-12, bp_maxiter=10)
+    p = tmp_path / "eng_color.npz"
+    save_engine(eng, p)
+    eng2 = load_engine(p)
+    assert eng2.plan.bp_schedule == "color"
+    assert eng2.factor_method == "direct"
+    assert eng2.plan.edge_ids == eng.plan.edge_ids
+    z1, z2 = eng.expect_1site("Z"), eng2.expect_1site("Z")
+    for v in z1:
+        assert np.isclose(z1[v], z2[v])
+
+
 def test_version_guard(tmp_path, rng):
     g = tnqs.named_path_graph(3)
     psi = tnqs.random_tensornetworkstate(g, bond_dimension=2, rng=rng)

@@ -218,6 +218,11 @@ def save_engine(eng, path) -> None:
         "d": eng.d,
         "dtype": np.dtype(eng.dtype).name,
         "buckets": sorted(int(k) for k in eng.T.keys()),
+        # plan-shaping options: edge-id and bucket orderings depend on the
+        # BP schedule, so restoring with a different schedule would silently
+        # permute T rows and M messages (shapes still match)
+        "bp_schedule": eng.plan.bp_schedule,
+        "factor_method": eng.factor_method,
     }
     arrays = {f"b{k}": _to_host(arr) for k, arr in eng.T.items()}
     arrays["M"] = _to_host(eng.M)
@@ -241,7 +246,15 @@ def load_engine(path):
     if sitetype is None:
         raise ValueError(f"unsupported site dimension {d}")
     psi = zerostate(g, siteinds(sitetype, g), dtype=np.dtype(header["dtype"]))
-    eng = LatticeEngine(psi, chi=int(header["chi"]), dtype=jnp.dtype(header["dtype"]))
+    eng = LatticeEngine(
+        psi,
+        chi=int(header["chi"]),
+        dtype=jnp.dtype(header["dtype"]),
+        # older checkpoints predate these fields; they were always written
+        # by engines built with the defaults below
+        factor_method=header.get("factor_method", "auto"),
+        bp_schedule=header.get("bp_schedule", "wavefront"),
+    )
     for k in header["buckets"]:
         saved = data[f"b{k}"]
         if eng.T[k].shape != saved.shape:

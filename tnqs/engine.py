@@ -65,6 +65,7 @@ class LatticePlan:
     edge_ids: dict  # directed edge tuple -> int
     num_edges: int
     bp_groups: list  # [(k, t, src_pos [B], out_eids [B], in_eids [B, k-1], in_slots [k-1])]
+    bp_schedule: str = "wavefront"  # schedule the orderings above were built for
 
     @staticmethod
     def build(graph: NamedGraph, bp_schedule: str = "wavefront") -> "LatticePlan":
@@ -205,6 +206,7 @@ class LatticePlan:
             edge_ids=edge_ids,
             num_edges=len(edge_ids),
             bp_groups=bp_groups,
+            bp_schedule=bp_schedule,
         )
 
 
