@@ -97,3 +97,41 @@ def test_engine_gram_matches_direct():
         zs[method] = eng.expect_1site("Z")
     for v in g.vertices():
         assert abs(zs["direct"][v] - zs["gram"][v]) < 1e-5, v
+
+
+# ---------------------------------------------------------------------------
+# fused Pallas BP sweep kernel (tnqs/ops/bp_sweep.py), interpreter mode
+# ---------------------------------------------------------------------------
+
+
+def test_bp_sweep_kernel_matches_xla_path():
+    """Engine BP fixed point with the fused kernel (interpret mode) must
+    match the XLA einsum path bit-for-f32 on a loopy heavy-hex graph."""
+    import tnqs
+    from tnqs.engine import LatticeEngine
+
+    g = tnqs.heavy_hexagonal_lattice(2, 2)
+    psi = tnqs.random_tensornetworkstate(
+        g, "S=1/2", bond_dimension=3, dtype=np.complex64,
+        rng=np.random.default_rng(11),
+    )
+    e_x = LatticeEngine(psi, chi=8, bp_kernel="xla")
+    e_p = LatticeEngine(psi, chi=8, bp_kernel="interpret")
+    e_x.bp_update(maxiter=10)
+    e_p.bp_update(maxiter=10)
+    err = np.max(np.abs(np.asarray(e_x.M) - np.asarray(e_p.M)))
+    assert err < 5e-6
+
+
+def test_bp_sweep_kernel_gating():
+    from tnqs.ops.bp_sweep import supports_group
+
+    # degree-1 groups and non-multiple-of-8 chi stay on the XLA path
+    assert not supports_group(1, 64, 2, np.complex64)
+    assert not supports_group(2, 12, 2, np.complex64)
+    assert not supports_group(2, 64, 2, np.complex128)
+    # degree-3 at chi=64 (the benchmark shape) is in budget
+    assert supports_group(3, 64, 2, np.complex64)
+    # degree-4 at chi=64 would blow VMEM; degree-4 at small chi is fine
+    assert not supports_group(4, 64, 2, np.complex64)
+    assert supports_group(4, 16, 2, np.complex64)

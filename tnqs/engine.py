@@ -254,7 +254,9 @@ def compile_circuit(plan: LatticePlan, circuit: Sequence, d: int = 2) -> list:
     for gate in circuit:
         name, verts = gate[0], list(gate[1])
         param = gate[2] if len(gate) > 2 else None
-        mat = gate_matrix(name, param)
+        # raw matrices pass through (operator-picture folded gates,
+        # `tnqs.models.operator_picture_layer`); names hit the registry
+        mat = np.asarray(name) if isinstance(name, np.ndarray) else gate_matrix(name, param)
         if len(verts) == 1:
             if current is None or current[0] != "one":
                 if current is not None:
@@ -442,7 +444,16 @@ class LatticeEngine:
     :meth:`expect_1site`.
     """
 
-    def __init__(self, psi: TensorNetworkState, chi: int, dtype=jnp.complex64, device=None, factor_method: str = "auto", bp_schedule: str = "wavefront"):
+    def __init__(self, psi: TensorNetworkState, chi: int, dtype=jnp.complex64, device=None, factor_method: str = "auto", bp_schedule: str = "auto", bp_kernel: str = "auto"):
+        if bp_schedule == "auto":
+            # TPU: "color" — 2 Gauss-Seidel stages, ~12 big fused-kernel
+            # launches per sweep, and ~30x faster XLA+Mosaic compiles than
+            # the 80-group wavefront staging (measured: 8 s vs 235 s per
+            # fixed-point program on Eagle-127 at chi=64, with color even
+            # faster per sweep, 3.9 vs 4.7 ms — docs/performance.md).
+            # CPU: "wavefront" — exact-on-trees single sweeps; XLA:CPU
+            # compiles the many small stages cheaply.
+            bp_schedule = "color" if jax.default_backend() == "tpu" else "wavefront"
         self.plan = LatticePlan.build(psi.graph, bp_schedule=bp_schedule)
         self.chi = int(chi)
         self.dtype = dtype
@@ -453,6 +464,16 @@ class LatticeEngine:
         if factor_method not in ("direct", "gram"):
             raise ValueError(f"unknown factor_method {factor_method!r}")
         self.factor_method = factor_method
+        # BP sweep backend: the fused Pallas kernel (`tnqs/ops/bp_sweep.py`)
+        # reads each site tensor from HBM once per outgoing message, where
+        # the XLA einsum chain materializes every absorb intermediate.
+        # "auto" = Pallas on TPU for complex64, XLA otherwise; "interpret"
+        # runs the kernel through the Pallas interpreter (CPU testing).
+        if bp_kernel not in ("auto", "pallas", "xla", "interpret"):
+            raise ValueError(f"unknown bp_kernel {bp_kernel!r}")
+        if bp_kernel == "auto":
+            bp_kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
+        self.bp_kernel = bp_kernel
         # Precision of the BP message sweeps, the step's FLOPs hot spot
         # (~70% at chi=64).  None inherits the global policy (highest);
         # "high" (bf16_3x) is ~3x faster per sweep — validated to stay
@@ -462,10 +483,19 @@ class LatticeEngine:
         dims = {s.dim for v in psi.vertices() for s in sinds[v]}
         if len(dims) != 1:
             raise ValueError("engine requires a uniform site dimension")
-        if any(len(sinds[v]) != 1 for v in psi.vertices()):
-            raise ValueError("engine requires one site index per vertex")
-        self.d = dims.pop()
-        self._site_index = {v: sinds[v][0] for v in psi.vertices()}
+        counts = {len(sinds[v]) for v in psi.vertices()}
+        if len(counts) != 1:
+            raise ValueError("engine requires a uniform site-index count per vertex")
+        # Multi-leg sites (operator states, `inds_per_site=2`: Heisenberg-
+        # picture and thermal workloads) fold into one site axis of dim
+        # d0^legs; gates then act on the folded axis (see
+        # `tnqs.models.operator_picture_layer`).  Mirrors the reference's
+        # operator TNS (`tensornetworkstate_constructors.jl:21-41`).
+        self.site_legs = counts.pop()
+        d0 = dims.pop()
+        self.d = d0**self.site_legs
+        self._site_indices = {v: list(sinds[v]) for v in psi.vertices()}
+        self._site_index = {v: self._site_indices[v][0] for v in psi.vertices()}
         self.T = self._pack_state(psi)
         self.M = self._initial_messages()
         self._step_cache: dict = {}
@@ -483,11 +513,15 @@ class LatticeEngine:
             arr = np.zeros((len(verts), d) + (chi,) * k, dtype=np.dtype(self.dtype))
             for p, v in enumerate(verts):
                 t = psi[v]
-                order = [self._site_index[v]] + [
+                order = list(self._site_indices[v]) + [
                     psi.virtualind((v, u)) for u in plan.neighbor_order[v]
                 ]
                 data = np.asarray(t.permute(order).data)
-                slices = (slice(0, d),) + tuple(slice(0, i.dim) for i in order[1:])
+                # fold the (adjacent, leading) site legs into one axis
+                data = data.reshape((d,) + data.shape[self.site_legs :])
+                slices = (slice(0, d),) + tuple(
+                    slice(0, i.dim) for i in order[self.site_legs :]
+                )
                 arr[(p,) + slices] = data
             T[k] = _device_put(arr)
         return T
@@ -509,10 +543,15 @@ class LatticeEngine:
         T_host = {k: _device_get(arr) for k, arr in self.T.items()}
         for v in plan.vertices:
             k, pos = plan.bucket_pos[v]
-            s = self._site_index[v]
-            inds = [s] + [bond_index[frozenset((v, u))] for u in plan.neighbor_order[v]]
-            tensors[v] = Tensor(T_host[k][pos], inds)
-            site_inds[v] = [s]
+            ss = self._site_indices[v]
+            inds = list(ss) + [
+                bond_index[frozenset((v, u))] for u in plan.neighbor_order[v]
+            ]
+            data = T_host[k][pos]
+            if self.site_legs > 1:  # unfold the site axis back into legs
+                data = data.reshape(tuple(i.dim for i in ss) + data.shape[1:])
+            tensors[v] = Tensor(data, inds)
+            site_inds[v] = list(ss)
         return TensorNetworkState(tensors, plan.graph.copy(), site_inds)
 
     def to_bp_cache(self):
@@ -528,7 +567,25 @@ class LatticeEngine:
         return bpc
 
     # -- BP sweep -------------------------------------------------------
-    def _bp_new_messages(self, T: dict, M: Array) -> Array:
+    def _bp_planes(self, T: dict) -> dict | None:
+        """Pre-permuted real/imag f32 plane layouts for every (degree, slot)
+        the fused Pallas BP kernel can handle, or None when the kernel is
+        disabled.  Computed once per fixed-point call (T is loop-invariant
+        during BP) so the conversions amortize over all iterations/stages."""
+        if self.bp_kernel == "xla":
+            return None
+        from .ops.bp_sweep import plane_layouts, supports_group
+
+        planes = {}
+        for k, arr in T.items():
+            if k >= 2 and supports_group(k, self.chi, self.d, self.dtype):
+                pr = jnp.real(arr).astype(jnp.float32)
+                pi = jnp.imag(arr).astype(jnp.float32)
+                for t in range(k):
+                    planes[(k, t)] = plane_layouts(pr, pi, k, t)
+        return planes or None
+
+    def _bp_new_messages(self, T: dict, M: Array, planes: dict | None = None) -> Array:
         """One BP iteration: batched within each (color, degree, slot) group,
         staged over bipartite source colors (Gauss-Seidel between stages)."""
         plan = self.plan
@@ -541,22 +598,41 @@ class LatticeEngine:
                     continue
                 # contiguous-by-construction bucket ranges: slice, not gather
                 lo, hi = int(src_pos[0]), int(src_pos[-1]) + 1
-                if hi - lo == len(src_pos):
-                    A = lax.slice_in_dim(T[k], lo, hi, axis=0)
-                else:  # irregular fallback
-                    A = T[k][src_pos]
-                Asrc = A
-                for col, j in enumerate(other_slots):
-                    Mj = M[in_eids[:, col]]
-                    A = _absorb_message(A, Mj, axis=2 + j, precision=prec)
-                # contract with conj(T) over site + all bra axes except slot t
-                Tc = jnp.conj(Asrc)
-                a_sub = ["B", "s"] + [chr(ord("a") + j) for j in range(k)]
-                b_sub = ["B", "s"] + [chr(ord("a") + j) for j in range(k)]
-                a_sub[2 + t] = "i"
-                b_sub[2 + t] = "j"
-                expr = f"{''.join(a_sub)},{''.join(b_sub)}->Bij"
-                m_new = jnp.einsum(expr, A, Tc, precision=prec)
+                contiguous = hi - lo == len(src_pos)
+                if planes is not None and (k, t) in planes and contiguous:
+                    from .ops.bp_sweep import bp_sweep_group
+
+                    # Mosaic rejects Precision.HIGH; the kernel implements
+                    # the "high" contract as a manual 3-pass bf16 split
+                    kmode = "bf16_3x" if prec == "high" else "highest"
+                    Min = M[in_eids]  # [B, k-1, chi, chi]
+                    mr, mi = bp_sweep_group(
+                        *planes[(k, t)],
+                        jnp.real(Min).astype(jnp.float32),
+                        jnp.imag(Min).astype(jnp.float32),
+                        lo=lo,
+                        k=k,
+                        interpret=self.bp_kernel == "interpret",
+                        mode=kmode,
+                    )
+                    m_new = lax.complex(mr, mi).astype(M.dtype)
+                else:
+                    if contiguous:
+                        A = lax.slice_in_dim(T[k], lo, hi, axis=0)
+                    else:  # irregular fallback
+                        A = T[k][src_pos]
+                    Asrc = A
+                    for col, j in enumerate(other_slots):
+                        Mj = M[in_eids[:, col]]
+                        A = _absorb_message(A, Mj, axis=2 + j, precision=prec)
+                    # contract with conj(T) over site + all bra axes except slot t
+                    Tc = jnp.conj(Asrc)
+                    a_sub = ["B", "s"] + [chr(ord("a") + j) for j in range(k)]
+                    b_sub = ["B", "s"] + [chr(ord("a") + j) for j in range(k)]
+                    a_sub[2 + t] = "i"
+                    b_sub[2 + t] = "j"
+                    expr = f"{''.join(a_sub)},{''.join(b_sub)}->Bij"
+                    m_new = jnp.einsum(expr, A, Tc, precision=prec)
                 # sum-normalize (reference `updated_message`,
                 # `abstractbeliefpropagationcache.jl:183-187`)
                 norm = jnp.sum(m_new, axis=(1, 2), keepdims=True)
@@ -587,16 +663,18 @@ class LatticeEngine:
             f = jnp.abs(dot / denom) ** 2
             return jnp.mean(1.0 - f)
 
+        planes = self._bp_planes(T)
+
         def cond(carry):
             M_cur, it, eps = carry
             return (it < maxiter) & (eps > tolerance)
 
         def body(carry):
             M_cur, it, _ = carry
-            M_new = self._bp_new_messages(T, M_cur)
+            M_new = self._bp_new_messages(T, M_cur, planes)
             return (M_new, it + 1, diff(M_cur, M_new))
 
-        M1 = self._bp_new_messages(T, M)
+        M1 = self._bp_new_messages(T, M, planes)
         M_final, _, _ = lax.while_loop(cond, body, (M1, jnp.asarray(1), diff(M, M1)))
         return M_final
 
@@ -718,7 +796,15 @@ class LatticeEngine:
         ONE pseudo-sqrt kernel call, and all same-size Gram matrices of the
         truncated SVDs through ONE more — the Jacobi kernel's round latency
         is paid per call, so consolidation across classes is the difference
-        between 6 and 2 launches per group."""
+        between 6 and 2 launches per group.
+
+        Gathering every class's environments from the pre-group M here is
+        EQUIVALENT to the direct path's sequential per-class application: a
+        group's gates are vertex-disjoint (edge-color batching,
+        `compile_circuit`), so a class only ever writes the messages on its
+        own gate bonds, which cannot appear among another class's incoming
+        environments (those enter at that class's own vertices).  Verified
+        by `tests/test_ops.py::test_engine_gram_matches_direct`."""
         chi, d = self.chi, self.d
         from .ops.factorizations import cholesky_qr, default_eigh
 
@@ -987,6 +1073,86 @@ class LatticeEngine:
             self.T, self.M, errors = step(self.T, self.M)
             all_errors.append(errors)
         return np.stack([np.asarray(jax.device_get(e)) for e in all_errors])
+
+    # -- rank-adaptive bond-cap ladder -----------------------------------
+    def resize_chi(self, chi_new: int) -> "LatticeEngine":
+        """New engine at bond cap `chi_new` carrying this engine's state.
+
+        On-device zero-pad (grow) or slice (shrink) of every bond axis of T
+        and of M; the plan, site indices, and options are shared.  Growing
+        is lossless; shrinking drops the padded tail (only safe while the
+        true bond rank is below the new cap — the ladder's use case)."""
+        import copy as _copy
+
+        chi_new = int(chi_new)
+        if chi_new == self.chi:
+            return self
+        eng = _copy.copy(self)
+        eng.chi = chi_new
+        eng._step_cache = {}
+        eng._edge_cls_cache = None
+        delta = chi_new - self.chi
+
+        def fix(arr, bond_axes):
+            if delta > 0:
+                pad = [(0, 0)] * arr.ndim
+                for ax in bond_axes:
+                    pad[ax] = (0, delta)
+                return jnp.pad(arr, pad)
+            sl = [slice(None)] * arr.ndim
+            for ax in bond_axes:
+                sl[ax] = slice(0, chi_new)
+            return arr[tuple(sl)]
+
+        eng.T = {k: fix(arr, range(2, 2 + k)) for k, arr in self.T.items()}
+        eng.M = fix(self.M, (1, 2))
+        return eng
+
+    def evolve_ladder(
+        self,
+        circuit: Sequence,
+        num_layers: int,
+        rungs: Sequence = (8, 16, 32, 64),
+        **kwargs,
+    ):
+        """Rank-adaptive evolution: early layers run at smaller bond caps.
+
+        From a product state the true bond rank after L layers is at most
+        ``d^(gates-per-edge * L)``, so early layers are EXACT at a small cap
+        while being up to (chi/cap)^3 cheaper and far faster to compile —
+        the first useful layer lands in the time of a chi=8 compile instead
+        of the full chi=64 program.  The cap grows through `rungs`
+        (truncated at this engine's chi, which is always the final rung);
+        each rung compiles its own step program.
+
+        Returns ``(engine_at_final_rung, errors [num_layers, n_gates])``;
+        `self` is left untouched.
+        """
+        rung_list = sorted({int(r) for r in rungs if int(r) < self.chi} | {self.chi})
+        # per-layer bond growth: d per 2-site gate on the busiest edge
+        per_edge: dict = {}
+        for gate in circuit:
+            verts = list(gate[1])
+            if len(verts) == 2:
+                key = frozenset(verts)
+                per_edge[key] = per_edge.get(key, 0) + 1
+        growth = self.d ** max(per_edge.values()) if per_edge else 1
+        # current exact rank bound: the largest padded bond already in use
+        rank = 1
+        eng = self
+        step = None
+        all_errors = []
+        for _ in range(num_layers):
+            rank = min(rank * growth, self.chi)
+            target = next(r for r in rung_list if r >= rank)
+            if target != eng.chi:
+                eng = eng.resize_chi(target)
+                step = None
+            if step is None:
+                step = eng.make_step(circuit, **kwargs)
+            eng.T, eng.M, errors = step(eng.T, eng.M)
+            all_errors.append(errors)
+        return eng, np.stack([np.asarray(jax.device_get(e)) for e in all_errors])
 
     # -- on-device measurement ------------------------------------------
     @partial(jax.jit, static_argnums=(0,))

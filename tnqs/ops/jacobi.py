@@ -186,12 +186,22 @@ def _make_kernel(m: int, sweeps: int, eps: float):
 
 
 def _chunk_size(m: int, n: int) -> int:
-    """Batch chunk per grid program.  Pallas double-buffers every in/out
-    block and the loop carry lives alongside, so the per-program footprint
-    is ~5x the raw tile bytes; budget ~1MB of tiles to stay inside VMEM."""
+    """Batch chunk per grid program.
+
+    The kernel's cost is `sweeps*(n-1)` SEQUENTIAL rotation rounds per grid
+    program and grid programs also run sequentially, so the batch must ride
+    in as few chunks as possible — chunking the benchmark's [96, 64, 64]
+    env eigensolve to Bc=2 (the old 1 MB budget) cost 24x the rounds and
+    ~23 ms/call.  Pallas double-buffers every in/out block and the loop
+    carry lives alongside (~5x raw tile bytes per program); v5e has 128 MiB
+    of VMEM (the 16 MB scoped default is raised via CompilerParams), so
+    budget ~7 MB of tiles (the measured scoped footprint is ~15x the tile
+    budget: 8.3 MB of tiles compiled to a 120.4 MB request): the benchmark
+    batches run in 2-3 programs instead of 24.
+    """
     per_matrix_bytes = (12 * m * m + 8 * n * m) * 4
-    bc = max(1, (1 << 20) // per_matrix_bytes)
-    return int(min(bc, 256))
+    bc = max(1, (7 << 20) // per_matrix_bytes)
+    return int(min(bc, 512))
 
 
 @partial(jax.jit, static_argnames=("sweeps", "interpret"))
@@ -244,6 +254,13 @@ def jacobi_eigh(H: Array, sweeps: int = 8, interpret: bool = False):
     hspec = spec((m, m))
     wspec = spec((n, m))
     espec = spec((1, m))
+    kwargs = {}
+    if _HAVE_PLTPU and not interpret:
+        # the 16 MB scoped-VMEM default would force small batch chunks and
+        # multiply the sequential rotation rounds; v5e has 128 MiB
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024
+        )
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             kern,
@@ -256,6 +273,7 @@ def jacobi_eigh(H: Array, sweeps: int = 8, interpret: bool = False):
                 + [jax.ShapeDtypeStruct((Bp, 1, m), jnp.float32)] * 2
             ),
             interpret=interpret,
+            **kwargs,
         )(*args)
 
     wr = jnp.concatenate([outs[8], outs[10]], axis=2)[:B]
