@@ -104,3 +104,32 @@ def test_sa_optimizer_agrees(rng):
         seq = contraction_sequence(facs, alg=alg)
         vals.append(complex(contract(facs, seq).scalar()))
     assert max(abs(v - vals[0]) for v in vals) < 1e-10 * abs(vals[0])
+
+
+def test_new_optimizers_complete_and_invariant(rng):
+    """Treewidth / ExactTreewidth / SABipartite / HyperND analogs (reference
+    re-exports, `contraction_sequences.jl:12-18`) yield complete valid trees
+    and the same scalar as the optimal order."""
+    import tnqs
+
+    # a loopy network: 3x3 grid TNS norm factors (18 tensors)
+    g = tnqs.named_grid((3, 3))
+    psi = tnqs.random_tensornetworkstate(
+        g, "S=1/2", bond_dimension=2, rng=np.random.default_rng(5)
+    )
+    facs = psi.norm_factors(psi.vertices())
+    ref = contract(facs, sequence=contraction_sequence(facs, alg="greedy")).item()
+    for alg in ("treewidth", "exacttreewidth", "sabipartite", "hypernd"):
+        seq = contraction_sequence(facs, alg=alg)
+        assert sorted(_leaves(seq)) == list(range(1, len(facs) + 1))
+        val = contract(facs, sequence=seq).item()
+        assert abs(val - ref) < 1e-8 * max(1.0, abs(ref))
+
+
+def test_exact_treewidth_small_chain(rng):
+    tensors = _chain(rng, n=6, d=3)
+    seq = contraction_sequence(tensors, alg="exacttreewidth")
+    assert sorted(_leaves(seq)) == list(range(1, len(tensors) + 1))
+    ref = contract(tensors, sequence=contraction_sequence(tensors, alg="optimal")).item()
+    val = contract(tensors, sequence=seq).item()
+    assert abs(val - ref) < 1e-10 * max(1, abs(ref))

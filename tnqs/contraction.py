@@ -1,14 +1,26 @@
 """Contraction-sequence optimization.
 
 Replaces OMEinsumContractionOrders.jl in the reference
-(`/root/reference/src/contraction_sequences.jl`).  Two algorithms:
+(`/root/reference/src/contraction_sequences.jl`; optimizers re-exported at
+`TensorNetworkQuantumSimulator.jl:87-93`).  Algorithms:
 
 * ``alg="optimal"`` — exact dynamic programming over subsets (the netcon-type
   search the reference gets from `ExhaustiveSearch`), used for the small local
   factor lists of BP message updates and regional contractions.  Falls back to
   greedy above `_OPTIMAL_MAX` tensors.
 * ``alg="greedy"`` (alias ``"omeinsum"``) — pairwise greedy minimizing the
-  intermediate size, used for whole-network exact contractions.
+  intermediate size (`GreedyMethod`), used for whole-network contractions.
+* ``alg="sa"``/``"treesa"`` — stochastic annealing with restarts over greedy
+  trees (`TreeSA`), native C++.
+* ``alg="treewidth"`` — min-fill elimination ordering of the index graph,
+  converted to a contraction tree (`Treewidth`).
+* ``alg="exacttreewidth"`` — exact minimum-width elimination ordering by DP
+  over index subsets (`ExactTreewidth`); falls back to min-fill above
+  `_EXACT_TW_MAX` indices.
+* ``alg="sabipartite"`` — recursive balanced bipartition by simulated
+  annealing on the cut index weight (`SABipartite`).
+* ``alg="hypernd"`` — recursive nested dissection of the tensor hypergraph
+  with greedy Fiduccia–Mattheyses-style refinement (`HyperND`).
 
 Sequences are nested lists of 1-based leaf positions, e.g. ``[[1, 3], 2]`` —
 the same convention as the reference, so cached plans are directly
@@ -19,6 +31,8 @@ from __future__ import annotations
 
 from math import prod
 from typing import Sequence
+
+import numpy as np
 
 from .core.index import Index
 from .core.tensor import Tensor, contract as _contract
@@ -70,6 +84,12 @@ def contraction_sequence(tensors: Sequence[Tensor], alg: str = "optimal", **kwar
         )
         if seq is not None:
             return seq
+    if alg in ("treewidth", "exacttreewidth"):
+        return _treewidth_sequence(tensors, exact=alg == "exacttreewidth", **kwargs)
+    if alg == "sabipartite":
+        return _bipartite_sequence(tensors, refine="sa", **kwargs)
+    if alg == "hypernd":
+        return _bipartite_sequence(tensors, refine="fm", **kwargs)
     if _native.have_native() and n >= _GREEDY_NATIVE_MIN:
         seq = _native.greedy_order(_index_sets(tensors), _dims(tensors))
         if seq is not None:
@@ -157,6 +177,266 @@ def _greedy_sequence(tensors: Sequence[Tensor]):
         live[next_id] = (_result_inds(sa, sb), [ta, tb])
         next_id += 1
     return next(iter(live.values()))[1]
+
+
+# ---------------------------------------------------------------------------
+# treewidth-based orderings (reference re-exports OMEinsum's Treewidth /
+# ExactTreewidth optimizers, `contraction_sequences.jl:12-18`)
+# ---------------------------------------------------------------------------
+
+
+def _index_adjacency(tensors: Sequence[Tensor]):
+    """Index-interaction graph: indices adjacent iff they share a tensor."""
+    sets = _index_sets(tensors)
+    verts: list = sorted({i for s in sets for i in s}, key=id)
+    pos = {v: p for p, v in enumerate(verts)}
+    adj = [set() for _ in verts]
+    for s in sets:
+        ids = [pos[i] for i in s]
+        for a_i in range(len(ids)):
+            for b_i in range(a_i + 1, len(ids)):
+                adj[ids[a_i]].add(ids[b_i])
+                adj[ids[b_i]].add(ids[a_i])
+    return verts, adj
+
+
+def _minfill_order(adj) -> list:
+    """Min-fill elimination ordering (standard treewidth heuristic)."""
+    n = len(adj)
+    adj = [set(a) for a in adj]
+    alive = set(range(n))
+    order = []
+    while alive:
+        best_v, best_key = None, None
+        for v in alive:
+            nb = adj[v] & alive
+            fill = 0
+            nbl = list(nb)
+            for a_i in range(len(nbl)):
+                for b_i in range(a_i + 1, len(nbl)):
+                    if nbl[b_i] not in adj[nbl[a_i]]:
+                        fill += 1
+            key = (fill, len(nb))
+            if best_key is None or key < best_key:
+                best_key, best_v = key, v
+        nb = list(adj[best_v] & alive)
+        for a_i in range(len(nb)):
+            for b_i in range(a_i + 1, len(nb)):
+                adj[nb[a_i]].add(nb[b_i])
+                adj[nb[b_i]].add(nb[a_i])
+        alive.discard(best_v)
+        order.append(best_v)
+    return order
+
+
+_EXACT_TW_MAX = 18
+
+
+def _exact_tw_order(adj) -> list:
+    """Exact minimum-width elimination ordering by DP over vertex subsets
+    (Bodlaender–Fomin–Koster style: f(S) = min_v max(|N(v) \\ S|, f(S+v)))."""
+    n = len(adj)
+    full = (1 << n) - 1
+    masks = [0] * n
+    for v, nb in enumerate(adj):
+        for u in nb:
+            masks[v] |= 1 << u
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def f(S: int) -> tuple:
+        if S == full:
+            return (0, -1)
+        best = None
+        rest = full & ~S
+        v = 0
+        while rest:
+            if rest & 1:
+                # degree of v in the graph where S is eliminated: neighbors
+                # outside S, plus clique fill tracked implicitly by the DP
+                # recurrence on the *elimination* graph: width contribution
+                # is |reachable(v, S) \ S| where reachability runs through S
+                reach = _reach(v, S, masks)
+                w = bin(reach).count("1")
+                sub = f(S | (1 << v))[0]
+                cand = max(w, sub)
+                if best is None or cand < best[0]:
+                    best = (cand, v)
+            rest >>= 1
+            v += 1
+        return best
+
+    def _reach(v: int, S: int, masks) -> int:
+        # neighbors of v in the elimination graph of S: vertices outside S
+        # reachable from v via paths through S
+        seen = 1 << v
+        frontier = masks[v]
+        out = 0
+        while frontier:
+            u = (frontier & -frontier).bit_length() - 1
+            bit = 1 << u
+            frontier &= ~bit
+            if seen & bit:
+                continue
+            seen |= bit
+            if S & bit:
+                frontier |= masks[u] & ~seen
+            else:
+                out |= bit
+        return out
+
+    order = []
+    S = 0
+    while S != full:
+        _, v = f(S)
+        order.append(v)
+        S |= 1 << v
+    return order
+
+
+def _elim_to_tree(tensors: Sequence[Tensor], verts, order):
+    """Contraction tree from an index elimination order: eliminating an index
+    contracts every live tensor that carries it."""
+    live = {k: (set(tensors[k].inds), k + 1) for k in range(len(tensors))}
+    next_id = len(tensors)
+
+    def merge(keys):
+        nonlocal next_id
+        keys = list(keys)
+        acc_s, acc_t = live.pop(keys[0])
+        for k2 in keys[1:]:
+            s2, t2 = live.pop(k2)
+            acc_s, acc_t = acc_s ^ s2, [acc_t, t2]
+        live[next_id] = (acc_s, acc_t)
+        next_id += 1
+
+    for vi in order:
+        ind = verts[vi]
+        holders = [k for k, (s, _) in live.items() if ind in s]
+        if len(holders) >= 2:
+            merge(holders)
+    while len(live) > 1:
+        merge(list(live.keys())[:2])
+    return next(iter(live.values()))[1]
+
+
+def _treewidth_sequence(tensors: Sequence[Tensor], exact: bool = False, **kwargs):
+    verts, adj = _index_adjacency(tensors)
+    if not verts:  # all-scalar network
+        return _greedy_sequence(tensors)
+    if exact and len(verts) <= _EXACT_TW_MAX:
+        order = _exact_tw_order(adj)
+    else:
+        order = _minfill_order(adj)
+    return _elim_to_tree(tensors, verts, order)
+
+
+# ---------------------------------------------------------------------------
+# recursive-bipartition orderings (reference re-exports OMEinsum's
+# SABipartite and HyperND optimizers)
+# ---------------------------------------------------------------------------
+
+
+def _cut_weight(groupA, groupB, sets, dimsz) -> float:
+    from math import log
+
+    w = 0.0
+    indsA = set().union(*(sets[k] for k in groupA)) if groupA else set()
+    indsB = set().union(*(sets[k] for k in groupB)) if groupB else set()
+    for i in indsA & indsB:
+        w += log(dimsz[i])
+    return w
+
+
+def _bipartition_sa(keys, sets, dimsz, rng, sweeps: int = 60):
+    """Balanced bipartition minimizing log cut weight, simulated annealing."""
+    keys = list(keys)
+    n = len(keys)
+    half = n // 2
+    perm = list(rng.permutation(n))
+    A = set(keys[p] for p in perm[:half])
+    B = set(keys[p] for p in perm[half:])
+    cost = _cut_weight(A, B, sets, dimsz)
+    for sweep in range(sweeps):
+        temp = max(1e-3, 1.0 - sweep / sweeps)
+        a = keys[int(rng.integers(n))]
+        b = keys[int(rng.integers(n))]
+        if (a in A) == (b in A):
+            continue
+        if a in B:
+            a, b = b, a
+        A2 = (A - {a}) | {b}
+        B2 = (B - {b}) | {a}
+        c2 = _cut_weight(A2, B2, sets, dimsz)
+        if c2 <= cost or rng.random() < float(np.exp((cost - c2) / temp) if (cost - c2) / temp > -50 else 0.0):
+            A, B, cost = A2, B2, c2
+    return A, B
+
+
+def _bipartition_fm(keys, sets, dimsz, imbalance: float = 0.34):
+    """Deterministic bisection with single-move Fiduccia–Mattheyses-style
+    refinement (the nested-dissection splitter)."""
+    keys = list(keys)
+    n = len(keys)
+    half = n // 2
+    A = set(keys[:half])
+    B = set(keys[half:])
+    lo = max(1, int(n * (0.5 - imbalance)))
+    hi = n - lo
+    improved = True
+    cost = _cut_weight(A, B, sets, dimsz)
+    while improved:
+        improved = False
+        for k in keys:
+            src, dst = (A, B) if k in A else (B, A)
+            if len(src) - 1 < lo or len(dst) + 1 > hi:
+                continue
+            src2 = src - {k}
+            dst2 = dst | {k}
+            c2 = (
+                _cut_weight(src2, dst2, sets, dimsz)
+                if src is A
+                else _cut_weight(dst2, src2, sets, dimsz)
+            )
+            if c2 < cost - 1e-12:
+                src.discard(k)
+                dst.add(k)
+                cost = c2
+                improved = True
+    return A, B
+
+
+def _bipartite_sequence(tensors: Sequence[Tensor], refine: str = "sa", seed: int = 0, **kwargs):
+    sets = {k: frozenset(tensors[k].inds) for k in range(len(tensors))}
+    dimsz = _dims(tensors)
+    rng = np.random.default_rng(seed)
+
+    def rec(keys):
+        keys = list(keys)
+        if len(keys) == 1:
+            return keys[0] + 1
+        if len(keys) == 2:
+            return [keys[0] + 1, keys[1] + 1]
+        if len(keys) <= 6:
+            # small leaves: hand off to the exact/greedy base optimizer
+            sub = [tensors[k] for k in keys]
+            tree = contraction_sequence(sub, alg="optimal")
+
+            def relabel(t):
+                if isinstance(t, int):
+                    return keys[t - 1] + 1
+                return [relabel(x) for x in t]
+
+            return relabel(tree)
+        if refine == "sa":
+            A, B = _bipartition_sa(keys, sets, dimsz, rng)
+        else:
+            A, B = _bipartition_fm(keys, sets, dimsz)
+        if not A or not B:  # degenerate split: fall back
+            A, B = set(keys[: len(keys) // 2]), set(keys[len(keys) // 2 :])
+        return [rec(sorted(A)), rec(sorted(B))]
+
+    return rec(range(len(tensors)))
 
 
 def contract(tensors: Sequence[Tensor], sequence=None, alg: str = "optimal") -> Tensor:
