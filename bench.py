@@ -23,7 +23,8 @@ Prints exactly one JSON line:
 
 Env knobs: TNQS_BENCH_FAST=1 (tiny smoke config), TNQS_BENCH_STEPS=n,
 TNQS_BENCH_FORCE_FLEX=1 (re-measure the host flex baseline instead of using
-the cached `.bench_flex_baseline.json`).
+the cached `.bench_flex_baseline.json`), TNQS_PROFILE=<dir> (xprof trace of
+the timed loop, viewable in TensorBoard/Perfetto).
 """
 
 import json
@@ -81,10 +82,13 @@ def bench_engine(g, layer, chi, steps):
     T, M, errors = step(eng.T, eng.M)
     fetch(T, M, errors)
     compile_s = time.time() - t0
+    from tnqs.utils.profiling import trace_from_env
+
     t0 = time.time()
-    for _ in range(steps):
-        T, M, errors = step(T, M)
-    fetch(T, M, errors)  # forces the whole chain; ~25ms, amortized
+    with trace_from_env():  # TNQS_PROFILE=<dir> -> xprof trace of the loop
+        for _ in range(steps):
+            T, M, errors = step(T, M)
+        fetch(T, M, errors)  # forces the whole chain; ~25ms, amortized
     dt = (time.time() - t0) / steps
     return 1.0 / dt, compile_s
 
@@ -104,6 +108,28 @@ def bench_flex(g, layer, chi):
     return 1.0 / dt
 
 
+def julia_bound_lps(g, layer, chi, flex_lps):
+    """BLAS-bound upper estimate of CPU-Julia layers/sec on this host.
+
+    No Julia exists in this environment, so bound it from above: the
+    reference (ITensors -> threaded BLAS/LAPACK) and our flex tier execute
+    the same dense kernel sequence; Julia strips (most of) the interpreter
+    overhead but cannot beat the BLAS time itself.  Measure the flex layer
+    at a tiny bond dimension (chi=2: pure interpreter/bookkeeping, BLAS
+    negligible) and subtract: T_blas(chi) ~ T_flex(chi) - T_flex(2), so
+    CPU-Julia <= 1 / T_blas layers/sec.  Derivation + measured numbers in
+    `docs/performance.md`.
+    """
+    t_full = 1.0 / flex_lps
+    t_overhead = 1.0 / bench_flex(g, layer, 2)
+    t_blas = t_full - t_overhead
+    if chi < 32 or t_blas < 0.2 * t_full:
+        # overhead-dominated regime (smoke configs): the subtraction is
+        # noise and the bound is uninformative
+        return float("nan")
+    return 1.0 / t_blas
+
+
 def main():
     g, layer, chi = build_workload()
     steps = int(os.environ.get("TNQS_BENCH_STEPS", "5" if FAST else "20"))
@@ -116,7 +142,7 @@ def main():
     import socket
 
     host = socket.gethostname()
-    flex_lps = None
+    flex_lps = julia_lps = None
     if not os.environ.get("TNQS_BENCH_FORCE_FLEX") and CACHE.exists():
         cached = json.loads(CACHE.read_text())
         if (
@@ -125,11 +151,19 @@ def main():
             and cached.get("host") == host
         ):
             flex_lps = cached["layers_per_sec"]
-    if flex_lps is None:
+            julia_lps = cached.get("julia_bound_lps")
+    if flex_lps is None or julia_lps is None:
         flex_lps = bench_flex(g, layer, chi)
+        julia_lps = julia_bound_lps(g, layer, chi, flex_lps)
         CACHE.write_text(
             json.dumps(
-                {"chi": chi, "nv": g.nv(), "host": host, "layers_per_sec": flex_lps}
+                {
+                    "chi": chi,
+                    "nv": g.nv(),
+                    "host": host,
+                    "layers_per_sec": flex_lps,
+                    "julia_bound_lps": julia_lps,
+                }
             )
         )
 
@@ -140,9 +174,15 @@ def main():
         "vs_baseline": round(layers_per_sec / flex_lps, 2),
     }
     print(json.dumps(result))
+    julia_note = (
+        f"BLAS-bound CPU-Julia estimate <= {julia_lps:.3f} layers/s "
+        f"(vs_julia_bound >= {layers_per_sec / julia_lps:.2f}x)"
+        if julia_lps == julia_lps  # not NaN
+        else "CPU-Julia bound n/a (overhead-dominated smoke config)"
+    )
     print(
         f"# engine: {layers_per_sec:.3f} layers/s (compile {compile_s:.1f}s); "
-        f"flex/reference-style: {flex_lps:.4f} layers/s",
+        f"flex/reference-style: {flex_lps:.4f} layers/s; " + julia_note,
         file=sys.stderr,
     )
 

@@ -134,3 +134,83 @@ def test_engine_tree_with_leaves():
     z_eng = eng.expect_1site("Z")
     for v in g.vertices():
         assert abs(z_eng[v] - tnqs.expect(bpc, ("Z", v))) < 1e-5, v
+
+
+def test_engine_operator_sites_match_flex():
+    """Heisenberg-picture operator evolution (2-leg sites folded to d=4) on
+    the engine must produce the same physical state as the flex tier
+    (BASELINE workload 5; reference
+    `examples/2dIsing_dynamics_Heisenbergpicture.jl`)."""
+    from tnqs.gates import op
+    from tnqs.models import operator_picture_layer
+
+    g = tnqs.named_grid((2, 3))
+    s = tnqs.siteinds("S=1/2", g, inds_per_site=2)
+    psi_i = tnqs.identity_tensornetworkstate(g, s, dtype=np.complex64)
+    vz = tnqs.center(g)[0]
+    psi_i.set_preserve(vz, (psi_i[vz] * psi_i._adapt_like(op("Z", s[vz][0]))).noprime())
+    psi_i = tnqs.normalize(psi_i, alg="bp")
+
+    h, J, dt = -0.9, -1.1, 0.07
+    named = [("Rz", [v], 2 * h * dt) for v in g.vertices()]
+    for group in tnqs.edge_color(g, 4):
+        named += [("Rxx", [u, v], 2 * J * dt) for (u, v) in group]
+
+    # flex: ket leg gets U(-theta), bra leg U(+theta) (symmetric gates)
+    flex_layer = []
+    for (name, verts, theta) in named:
+        if len(verts) == 1:
+            flex_layer.append(
+                op(name, s[verts[0]][0], -theta) * op(name, s[verts[0]][1], theta)
+            )
+        else:
+            u, v = verts
+            flex_layer.append(
+                op(name, [s[u][0], s[v][0]], -theta)
+                * op(name, [s[u][1], s[v][1]], theta)
+            )
+    bpc = tnqs.BeliefPropagationCache(psi_i.copy())
+    apply_kwargs = dict(maxdim=8, cutoff=1e-12, normalize_tensors=True)
+    for _ in range(2):
+        bpc, _ = tnqs.apply_gates(flex_layer, bpc, apply_kwargs=apply_kwargs)
+    psi_flex = bpc.network
+
+    eng = LatticeEngine(psi_i.copy(), chi=8, dtype=jnp.complex64)
+    assert eng.d == 4 and eng.site_legs == 2
+    folded = operator_picture_layer(named, d0=2)
+    eng.bp_update(maxiter=20)
+    eng.evolve(folded, num_layers=2, cutoff=1e-12, bp_maxiter=20)
+    psi_eng = eng.to_state()
+
+    # same physical operator up to bond gauge + global phase: |<a|b>| ~ 1
+    ov = tnqs.inner(psi_eng, psi_flex, alg="exact")
+    na = tnqs.norm_sqr(psi_eng, alg="exact")
+    nb = tnqs.norm_sqr(psi_flex, alg="exact")
+    fid = abs(ov) / np.sqrt(abs(na) * abs(nb))
+    assert abs(fid - 1.0) < 5e-5, fid
+
+
+def test_evolve_ladder_matches_direct():
+    """Rank-adaptive ladder (chi 2->4->8) must reproduce direct chi=8
+    evolution exactly while layer ranks stay under each rung."""
+    from tnqs.models import heavy_hex_kicked_ising_layer
+
+    g = tnqs.heavy_hexagonal_lattice(2, 2)
+    psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+    layer = heavy_hex_kicked_ising_layer(g, float(np.pi / 5), 0.37)
+
+    eng_a = LatticeEngine(psi, chi=8, dtype=jnp.complex64)
+    eng_a.bp_update(maxiter=10)
+    eng_a.evolve(layer, num_layers=3, cutoff=1e-12, bp_maxiter=10)
+    za = eng_a.expect_1site("Z")
+
+    eng_b = LatticeEngine(psi, chi=8, dtype=jnp.complex64)
+    eng_b.bp_update(maxiter=10)
+    eng_b, errs = eng_b.evolve_ladder(
+        layer, num_layers=3, rungs=(2, 4), cutoff=1e-12, bp_maxiter=10
+    )
+    assert eng_b.chi == 8
+    assert errs.shape[0] == 3
+    zb = eng_b.expect_1site("Z")
+    dz = max(abs(za[v] - zb[v]) for v in za)
+    assert dz < 5e-5, dz

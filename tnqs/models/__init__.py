@@ -7,6 +7,7 @@ engine, and the benchmark driver all share one definition.
 
 from .ising import (
     heavy_hex_kicked_ising_layer,
+    operator_picture_layer,
     tfim_layer,
 )
 from .heisenberg import heisenberg_imaginary_time_gates, htse_free_energy_density_4th
@@ -14,6 +15,7 @@ from .heisenberg import heisenberg_imaginary_time_gates, htse_free_energy_densit
 __all__ = [
     "tfim_layer",
     "heavy_hex_kicked_ising_layer",
+    "operator_picture_layer",
     "heisenberg_imaginary_time_gates",
     "htse_free_energy_density_4th",
 ]
