@@ -94,14 +94,24 @@ def bench_engine(g, layer, chi, steps):
 
 
 def bench_flex(g, layer, chi):
-    """One layer under the reference-style per-gate interpreted path (host)."""
+    """One layer under the reference-style per-gate interpreted path (host).
+
+    Bond dimensions double per kicked-Ising layer, so the state must be
+    warmed ceil(log2(chi)) + 1 layers before timing — the engine runs every
+    layer at the padded steady-state cost, and timing the flex tier at the
+    small early-layer bonds would flatter the baseline by an order of
+    magnitude (round-1 bug: one warm layer timed chi=64 work at bond 4).
+    """
+    import math
+
     import tnqs
 
     psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
     bpc = tnqs.BeliefPropagationCache(psi)
     apply_kwargs = dict(cutoff=1e-12, maxdim=chi, normalize_tensors=True)
-    # one warm layer so bond dimensions grow to steady state before timing
-    bpc, _ = tnqs.apply_gates(layer, bpc, apply_kwargs=apply_kwargs)
+    warm = max(1, math.ceil(math.log2(max(chi, 2))) + 1)
+    for _ in range(warm):
+        bpc, _ = tnqs.apply_gates(layer, bpc, apply_kwargs=apply_kwargs)
     t0 = time.time()
     bpc, _ = tnqs.apply_gates(layer, bpc, apply_kwargs=apply_kwargs)
     dt = time.time() - t0

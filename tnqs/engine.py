@@ -408,6 +408,36 @@ def _truncate_mask(s: Array, chi: int, cutoff: float):
     return s_pad * mask, mask, err
 
 
+def _cholesky_gauge_roots(E: Array, eps: float):
+    """Batched non-hermitian gauge roots from Cholesky.
+
+    The simple-update bond gauge only needs ANY factor W with W @ W^H = E
+    (the environment weighting of the truncation norm is `A W W^H A^H`;
+    the specific square root cancels exactly through the un-gauge).  The
+    lower Cholesky factor of the (regularized) hermitized environment is
+    ~7x cheaper on TPU than the hermitian pseudo-sqrt's eigendecomposition
+    (4.4 vs 30 ms on the benchmark's [96, 64, 64] batch).
+
+    The un-gauge convention in `_unreduce` contracts `conj(Winv)` as
+    `A . conj(Winv)^T`, so identity requires Winv = conj(L^{-1})^T.
+
+    Regularization delta ~ eps * tr(E)/chi keeps padded/null directions
+    SPD; their huge `Winv` entries are harmless because the gauged tensor
+    (and hence Q and the recombined update) is exactly zero there.
+    """
+    H = 0.5 * (E + jnp.swapaxes(E, -1, -2).conj())
+    chi = H.shape[-1]
+    diag_scale = jnp.real(jnp.einsum("...ii->...", H)) / chi
+    delta = jnp.maximum(jnp.abs(diag_scale) * (32.0 * eps), 1e-30)
+    eye = jnp.eye(chi, dtype=H.dtype)
+    A = H + delta[..., None, None] * eye
+    L = jnp.linalg.cholesky(A)
+    eye_b = jnp.broadcast_to(eye, A.shape)
+    Linv = jax.scipy.linalg.solve_triangular(L, eye_b, lower=True)
+    Winv = jnp.conj(jnp.swapaxes(Linv, -1, -2))
+    return L.astype(E.dtype), Winv.astype(E.dtype)
+
+
 def _svd_fallback(mat: Array):
     """Batched SVD; TPU-safe for complex via jnp.linalg.svd."""
     return jnp.linalg.svd(mat, full_matrices=False)
@@ -474,6 +504,14 @@ class LatticeEngine:
         if bp_kernel == "auto":
             bp_kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
         self.bp_kernel = bp_kernel
+        # Environment gauge factor for the batched (gram) two-site path:
+        # "cholesky" = lower-triangular W with W W^H = E_reg (~7x cheaper
+        # than the hermitian pseudo-sqrt's eigensolve on TPU; the gauge
+        # cancels exactly, see `_cholesky_gauge_roots`); "eigh" = the
+        # reference's pseudo-sqrt with spectral cutoff
+        # (`/root/reference/src/utils.jl:18-26`), kept on the direct path
+        # and for the f64 golden trajectories.
+        self.env_gauge = "cholesky" if self.factor_method == "gram" else "eigh"
         # Precision of the BP message sweeps, the step's FLOPs hot spot
         # (~70% at chi=64).  None inherits the global policy (highest);
         # "high" (bf16_3x) is ~3x faster per sweep — validated to stay
@@ -833,9 +871,12 @@ class LatticeEngine:
         W_all = Winv_all = None
         if env_bank:
             E_all = jnp.concatenate(env_bank, axis=0)
-            W_all, Winv_all = _pseudo_sqrt_roots(
-                E_all, self.sqrt_cutoff, eigh_fn=default_eigh(chi)
-            )
+            if self.env_gauge == "cholesky":
+                W_all, Winv_all = _cholesky_gauge_roots(E_all, eps)
+            else:
+                W_all, Winv_all = _pseudo_sqrt_roots(
+                    E_all, self.sqrt_cutoff, eigh_fn=default_eigh(chi)
+                )
 
         # phase 2: per class, gauge + reduce + theta + Gram matrix
         mids = []
