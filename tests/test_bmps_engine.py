@@ -81,6 +81,61 @@ def test_column_plan_covers_benchmark_lattices(maker, nv):
     assert n_cross + n_intra == len(list(g.edges()))
 
 
+def test_sampler_product_state_is_deterministic():
+    """On a product |↑...↑> state q(x) = p(x) = delta_{x,0}: every sample is
+    the all-zero string with p/q exactly 1."""
+    from tnqs.bmps_engine import BMPSSampler
+
+    g = tnqs.named_grid((3, 3))
+    psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+    eng = LatticeEngine(psi, chi=2)
+    sam = BMPSSampler(BMPSEngine(eng, rank=4), proj_rank=4)
+    out = sam.sample_directly_certified(6, seed=3)
+    for o in out:
+        assert abs(o["poverq"] - 1.0) < 1e-5
+        assert all(b == 0 for b in o["bitstring"].values())
+
+
+def test_sampler_poverq_matches_exact_amplitudes():
+    """At full MPS rank the certified p/q equals |<x|psi>|^2/(norm q(x))
+    from exact contraction (reference `get_one_sample`,
+    `/root/reference/src/sampling.jl:171-213`)."""
+    from tnqs.bmps_engine import BMPSSampler
+    from tnqs.core.tensor import onehot
+    from tnqs.networks import TensorNetwork
+
+    g = tnqs.named_grid((3, 3))
+    psi0 = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+    bpc = tnqs.BeliefPropagationCache(psi0)
+    layer = [("Rzz", e, 0.7) for e in g.edges()] + [
+        ("Rx", [v], 0.6) for v in g.vertices()
+    ]
+    bpc, _ = tnqs.apply_gates(
+        layer, bpc, apply_kwargs=dict(cutoff=1e-12, maxdim=2, normalize_tensors=True)
+    )
+    st = bpc.network
+    s = st.siteinds()
+    nrm = abs(complex(tnqs.norm_sqr(st, alg="exact")))
+
+    def p_exact(bitstring):
+        proj = {}
+        for v in st.vertices():
+            P = st._adapt_like(onehot(s[v][0], bitstring[v]))
+            proj[v] = st[v] * P
+        amp = tnqs.contract_network(TensorNetwork(proj, st.graph.copy()), alg="exact")
+        return abs(complex(amp)) ** 2 / nrm
+
+    eng = LatticeEngine(st, chi=2)
+    sam = BMPSSampler(BMPSEngine(eng, rank=8), proj_rank=8)
+    out = sam.sample_directly_certified(10, seed=5)
+    for o in out:
+        want = p_exact(o["bitstring"]) / np.exp(o["logq"])
+        assert abs(o["poverq"] - want) / want < 1e-4
+    # importance-sampling consistency: E_q[p/q] = 1
+    pq = np.array([o["poverq"] for o in out])
+    assert abs(pq.mean() - 1.0) < 5e-2
+
+
 def test_heavyhex_matches_flex_boundarymps():
     """Engine BMPS == flex BMPS on a heavy-hex state with real entanglement."""
     g = tnqs.heavy_hexagonal_lattice(2, 2)

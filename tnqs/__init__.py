@@ -42,6 +42,28 @@ if _prec != "default":
 
     _jax.config.update("jax_default_matmul_precision", _prec)
 
+# Persistent XLA compilation cache.  Remote (tunneled-TPU) compiles carry a
+# very large fixed per-program cost (~165 s was measured for a toy 4-matmul
+# program; the Eagle-127 engine step is 100-560 s), and the big engine /
+# boundary-MPS programs recompile identically in every process.  Caching
+# serialized executables on disk turns every repeat invocation — benchmark
+# runs, driver entry points, test re-runs — into a ~0 s cache hit.
+# Override the location with TNQS_COMPILE_CACHE; set it empty to disable.
+_cache_dir = _os.environ.get(
+    "TNQS_COMPILE_CACHE",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "tnqs", "xla"),
+)
+if _cache_dir:
+    import jax as _jax
+
+    try:
+        if not _jax.config.jax_compilation_cache_dir:
+            _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+            _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except AttributeError:  # older jax without the persistent cache
+        pass
+
 # -- core tensor layer --------------------------------------------------
 from .core.index import Index, noprime, prime, sim
 from .core.tensor import (

@@ -133,15 +133,24 @@ def _orth(Y: Array) -> Array:
     return Y @ (U * inv[None, :].astype(U.dtype)) @ U.conj().T
 
 
-def _rand_trunc(A: Array, x: int, omega: Array):
-    """A [M, N] ~= Q @ C with Q [M, x] NS-orthonormal, C = Q^H A [x, N]."""
-    Y = A @ omega  # [M, x]
-    Y = A @ (A.conj().T @ Y)  # one power iteration
-    Q = _orth(Y)
-    C = Q.conj().T @ A
-    # norm-rescale the carry; scales cancel in expectation ratios
+def _rand_trunc_factored(apply_A, apply_Ah, omega: Array, m_shape):
+    """Randomized rank-x factorization A ~= Q C WITHOUT materializing A.
+
+    `apply_A(V)` contracts A's factor list against V [..cols.., x] and
+    `apply_Ah(W)` against W [..rows.., x]; A itself (the emit-vertex
+    6-index tensor, up to tens of GB at chi=64) never exists.  One power
+    iteration then exact whitening through the tiny [x, x] Gram eigh.
+
+    Returns (Q, C / ||C||, log ||C||): the dropped norm is reported so
+    callers needing absolute scales (the sampler's p/q certificates) can
+    track them in log space while tensors stay O(1) in f32."""
+    Y = apply_A(omega)
+    Y = apply_A(apply_Ah(Y))  # one power iteration
+    x = Y.shape[-1]
+    Q = _orth(Y.reshape(-1, x)).reshape(*m_shape, x)
+    C = jnp.conj(apply_Ah(Q))  # (A^H Q)^* = (Q^H A)^T, cols-major [..cols.., x]
     c_n = jnp.sqrt(jnp.sum(jnp.abs(C) ** 2)) + 1e-30
-    return Q, C / c_n
+    return Q, C / c_n, jnp.log(jnp.real(c_n))
 
 
 # ----------------------------------------------------------------------
@@ -195,12 +204,18 @@ class BMPSEngine:
         return A.reshape(shape)
 
     # -- zip-up sweeps ----------------------------------------------------
-    def _zip_column(self, T: dict, c: int, incoming: list, direction: int):
+    def _zip_column(self, T: dict, c: int, incoming: list, direction: int,
+                    rank: int | None = None, K_of=None):
         """Zip the incoming boundary MPS through column c.
 
         direction=+1: left-to-right (emit on 'r' bonds, consume on 'l');
-        direction=-1: mirrored.  Returns the list of emitted MPS tensors
-        [q_in, bond_ket, bond_bra, q_out] in cut order."""
+        direction=-1: mirrored.  Returns ``(emitted, logscale)``: the list
+        of emitted MPS tensors [q_in, bond_ket, bond_bra, q_out] in cut
+        order, plus the accumulated log of every norm factor dropped during
+        the sweep (tensors stay O(1); absolute scales recover as
+        ``exp(logscale)``).  `K_of(v)` overrides the vertex tensor lookup
+        (the sampler passes site-projected tensors)."""
+        rank = self.rank if rank is None else int(rank)
         cp = self.cplan
         col = cp.columns[c]
         if direction > 0:
@@ -220,10 +235,11 @@ class BMPSEngine:
         # complex literals cannot be embedded in programs on tunneled
         # backends; build every constant from a real one and cast on device
         C = jnp.ones((1, 1, 1, 1), dtype=jnp.float32).astype(dt)  # [q, p, a, b]
+        logscale = jnp.zeros((), dtype=jnp.float32)
         emitted: list = [None] * len(emit_cut)
         last_emit = -1
         for v in col:
-            K = self._vertex_tensor(T, v)  # [s, u, d, l, r]
+            K = self._vertex_tensor(T, v) if K_of is None else K_of(v)  # [s,u,d,l,r]
             if direction < 0:
                 K = jnp.transpose(K, (0, 1, 2, 4, 3))  # swap l <-> r roles
             B = jnp.conj(K)
@@ -232,36 +248,60 @@ class BMPSEngine:
             else:
                 p = C.shape[1]
                 Min = jnp.eye(p, dtype=jnp.float32).astype(dt).reshape(p, 1, 1, p)
+            # conceptual step tensor (never materialized on the emit path):
             # C[q,p,a,b] Min[p,l,m,P] K[s,a,A,l,r] B[s,b,B,m,R] -> [q,P,r,R,A,B]
-            N = jnp.einsum(
-                "qpab,plmP,saAlr,sbBmR->qPrRAB", C, Min, K, B,
-                optimize=True,
-            )
-            q, P, rk, rb, Ak, Bb = N.shape
+            q = C.shape[0]
+            P = Min.shape[3]
+            rk, Ak = K.shape[4], K.shape[2]
+            rb, Bb = B.shape[4], B.shape[2]
             if v in emit_of:
                 M_ = q * rk * rb
                 N_ = P * Ak * Bb
-                A_mat = jnp.transpose(N, (0, 2, 3, 1, 4, 5)).reshape(M_, N_)
-                x = min(self.rank, M_, N_)
+                x = min(rank, M_, N_)
                 omega = jax.lax.complex(
-                    jnp.asarray(self._rng.standard_normal((N_, x)).astype(np.float32)),
-                    jnp.asarray(self._rng.standard_normal((N_, x)).astype(np.float32)),
+                    jnp.asarray(self._rng.standard_normal((P, Ak, Bb, x)).astype(np.float32)),
+                    jnp.asarray(self._rng.standard_normal((P, Ak, Bb, x)).astype(np.float32)),
                 ).astype(dt)
-                Q, Cmat = _rand_trunc(A_mat, x, omega)
-                emitted[emit_of[v]] = Q.reshape(q, rk, rb, x)
-                C = Cmat.reshape(x, P, Ak, Bb)
+
+                def apply_A(V, C=C, Min=Min, K=K, B=B):
+                    return jnp.einsum(
+                        "qpab,plmP,saAlr,sbBmR,PABx->qrRx", C, Min, K, B, V,
+                        optimize=True,
+                    )
+
+                def apply_Ah(W, C=C, Min=Min, K=K, B=B):
+                    return jnp.einsum(
+                        "qpab,plmP,saAlr,sbBmR,qrRx->PABx",
+                        C.conj(), Min.conj(), K.conj(), B.conj(), W,
+                        optimize=True,
+                    )
+
+                Q, Cnew, logn = _rand_trunc_factored(
+                    apply_A, apply_Ah, omega, (q, rk, rb)
+                )
+                logscale = logscale + logn
+                emitted[emit_of[v]] = Q
+                C = jnp.moveaxis(Cnew, -1, 0)  # [x, P, A, B]
                 last_emit = emit_of[v]
             else:
-                # no emission: rk = rb = 1 by construction
-                C = N.reshape(q, P, Ak, Bb)
+                # no emission: r = R = 1; land on [q, P, A, B] directly
+                C = jnp.einsum(
+                    "qpab,plmP,saAl,sbBm->qPAB", C, Min, K[..., 0], B[..., 0],
+                    optimize=True,
+                )
                 nrm = jnp.sqrt(jnp.sum(jnp.abs(C) ** 2)) + 1e-30
+                logscale = logscale + jnp.log(jnp.real(nrm))
                 C = C / nrm
         # fold the trailing scalar chain into the last emitted tensor
         if last_emit >= 0:
             tail = C.reshape(C.shape[0])  # [x]
             e = emitted[last_emit]
             emitted[last_emit] = jnp.einsum("qrRx,x->qrR", e, tail)[..., None]
-        return emitted
+        else:
+            # fully scalar column (no emissions): remaining carry is a pure
+            # scale; report it so partition functions stay absolute
+            logscale = logscale + jnp.log(jnp.abs(C.reshape(())) + 1e-30)
+        return emitted, logscale
 
     def _ladder_expect(self, T: dict, c: int, L: list, R: list, op: Array):
         """<op_v> for every vertex of column c given the left/right boundary
@@ -334,13 +374,13 @@ class BMPSEngine:
             for c in range(nC):
                 lefts[c] = cur
                 if c < nC - 1:
-                    cur = self._zip_column(T, c, cur, +1)
+                    cur, _ = self._zip_column(T, c, cur, +1)
             rights: list = [None] * nC  # rights[c] = MPS on cut c (right of col c)
             cur = []
             for c in range(nC - 1, -1, -1):
                 rights[c] = cur
                 if c > 0:
-                    cur = self._zip_column(T, c, cur, -1)
+                    cur, _ = self._zip_column(T, c, cur, -1)
             vals = {}
             for c in range(nC):
                 vals.update(self._ladder_expect(T, c, lefts[c], rights[c], op))
@@ -369,3 +409,215 @@ class BMPSEngine:
         op = device_put(np.asarray(op_matrix(opname, eng.d)).astype(np.dtype(eng.dtype)))
         vals = device_get(self._expect_fn(eng.T, op))
         return {v: complex(vals[i]) for i, v in enumerate(self._keys)}
+
+
+# ----------------------------------------------------------------------
+# compiled certified sampling
+# ----------------------------------------------------------------------
+
+
+class BMPSSampler:
+    """Compiled boundary-MPS certified sampler for engine states.
+
+    TPU-native counterpart of `tnqs.sample_directly_certified(...,
+    alg="boundarymps")` (reference `get_one_sample`/`sample_partition!`,
+    `/root/reference/src/sampling.jl:171-256`): the autoregressive
+    column-sweep sampler is traced ONCE with the drawn bits as traced
+    values (categorical draws from conditional RDM diagonals), then
+    `vmap`-batched over per-sample PRNG keys — all samples advance in
+    lockstep through one XLA program instead of re-running host-side
+    message passing per sample.
+
+    The right (norm-network) boundary MPSes are sample-independent and
+    built once per call; the left, bit-projected boundary MPS is evolved
+    per sample by the shared zip-up with the site legs contracted against
+    one-hot projectors scaled by 1/sqrt(q_v).  All dropped norm factors
+    accumulate in log space, so the returned p(x)/q(x) is absolute:
+    ``poverq = tr_first(last column) * exp(logscales) / norm_estimate``,
+    the same estimator as the reference's trace convention (which instead
+    pre-gauges the state to unit norm).
+
+    `rank` of the underlying :class:`BMPSEngine` is the norm-MPS bond
+    dimension (`norm_mps_bond_dimension`); `proj_rank` bounds the
+    projected sweep (`projected_mps_bond_dimension`)."""
+
+    def __init__(self, bmps: BMPSEngine, proj_rank: int | None = None):
+        self.bmps = bmps
+        self.proj_rank = int(proj_rank) if proj_rank is not None else 5 * bmps.engine.chi
+        cp = bmps.cplan
+        self.keys_order = [v for col in cp.columns for v in col]
+        self._vidx = {v: i for i, v in enumerate(self.keys_order)}
+        self._fn = None
+
+    # -- column helpers (all shapes static) -------------------------------
+    def _eye_msg(self, p: int, dt):
+        return jnp.eye(p, dtype=jnp.float32).astype(dt).reshape(p, 1, 1, p)
+
+    def _cut_maps(self, c: int):
+        cp = self.bmps.cplan
+        lcut = cp.cross[c - 1] if c > 0 else []
+        rcut = cp.cross[c] if c < len(cp.cross) else []
+        return {e[1]: i for i, e in enumerate(lcut)}, {e[0]: i for i, e in enumerate(rcut)}
+
+    def _msgs(self, v, l_of, r_of, L, R, pl, pr, dt):
+        Ml = L[l_of[v]] if v in l_of else self._eye_msg(pl, dt)
+        Mr = R[r_of[v]] if v in r_of else self._eye_msg(pr, dt)
+        return Ml, Mr
+
+    def _step_down(self, U, Ml, Mr, K, B):
+        return jnp.einsum(
+            "pPab,plmq,PrRQ,saAlr,sbBmR->qQAB", U, Ml, Mr, K, B, optimize=True
+        )
+
+    def _step_up(self, D, Ml, Mr, K, B):
+        return jnp.einsum(
+            "qQAB,plmq,PrRQ,saAlr,sbBmR->pPab", D, Ml, Mr, K, B, optimize=True
+        )
+
+    def _column_norm(self, T, c: int, R: list, dt):
+        """Traced-site walk down column c closed against the cut-c MPS:
+        the boundary-MPS estimate of <psi|psi> (relative scale)."""
+        be = self.bmps
+        l_of, r_of = self._cut_maps(c)
+        U = jnp.ones((1, 1, 1, 1), dtype=jnp.float32).astype(dt)
+        for v in be.cplan.columns[c]:
+            K = be._vertex_tensor(T, v)
+            Ml, Mr = self._msgs(v, l_of, r_of, [], R, U.shape[0], U.shape[1], dt)
+            U = self._step_down(U, Ml, Mr, K, jnp.conj(K))
+        return U.reshape(())
+
+    def _sample_column(self, T, c: int, L: list, R: list, key, dt):
+        """Sample every vertex of column c top-to-bottom; returns the
+        projected vertex tensors, the bits, log q(column), and the
+        unnormalized trace at the column's first vertex (the reference's
+        `traces[1]`, `sampling.jl:241-249`)."""
+        be = self.bmps
+        col = be.cplan.columns[c]
+        l_of, r_of = self._cut_maps(c)
+        # below environments with traced sites
+        D = [None] * (len(col) + 1)
+        D[len(col)] = jnp.ones((1, 1, 1, 1), dtype=jnp.float32).astype(dt)
+        for i in range(len(col) - 1, -1, -1):
+            v = col[i]
+            K = be._vertex_tensor(T, v)
+            # pass-through identity messages must match the chain dims of
+            # the carry (the MPS bond "passes through" non-cut vertices)
+            Ml, Mr = self._msgs(
+                v, l_of, r_of, L, R, D[i + 1].shape[0], D[i + 1].shape[1], dt
+            )
+            D[i] = self._step_up(D[i + 1], Ml, Mr, K, jnp.conj(K))
+        # downward autoregressive walk
+        U = jnp.ones((1, 1, 1, 1), dtype=jnp.float32).astype(dt)
+        Kp, bits, tr_first = {}, {}, None
+        logq = jnp.zeros((), dtype=jnp.float32)
+        for i, v in enumerate(col):
+            K = be._vertex_tensor(T, v)
+            Ml, Mr = self._msgs(v, l_of, r_of, L, R, U.shape[0], U.shape[1], dt)
+            rho = jnp.einsum(
+                "pPab,plmq,PrRQ,saAlr,tbBmR,qQAB->st",
+                U, Ml, Mr, K, jnp.conj(K), D[i + 1], optimize=True,
+            )
+            diag = jnp.clip(jnp.real(jnp.diagonal(rho)), 0.0, None)
+            tr = jnp.sum(diag) + 1e-30
+            if i == 0:
+                tr_first = tr
+            qdist = diag / tr
+            b = jax.random.categorical(
+                jax.random.fold_in(key, self._vidx[v]),
+                jnp.log(qdist + 1e-30).astype(jnp.float32),
+            )
+            qv = qdist[b]
+            oh = jax.nn.one_hot(b, K.shape[0], dtype=jnp.float32).astype(dt)
+            Kpv = jnp.einsum("s,sudlr->udlr", oh, K)[None] * jax.lax.rsqrt(
+                qv.astype(jnp.float32)
+            ).astype(dt)
+            Kp[v] = Kpv
+            bits[v] = b
+            logq = logq + jnp.log(qv.astype(jnp.float32))
+            U = self._step_down(U, Ml, Mr, Kpv, jnp.conj(Kpv))
+        return Kp, bits, logq, tr_first
+
+    # -- public API -------------------------------------------------------
+    def _build(self):
+        be = self.bmps
+        cp = be.cplan
+        nC = len(cp.columns)
+
+        def run(T, keys):
+            dt = None
+            for arr in T.values():
+                dt = arr.dtype
+            # sample-independent right (norm) boundary MPSes + log scales
+            rights: list = [None] * nC
+            rlog: list = [None] * nC
+            cur: list = []
+            acc = jnp.zeros((), dtype=jnp.float32)
+            for c in range(nC - 1, -1, -1):
+                rights[c] = cur
+                rlog[c] = acc
+                if c > 0:
+                    cur, ls = be._zip_column(T, c, cur, -1)
+                    acc = acc + ls
+            denom0 = self._column_norm(T, 0, rights[0], dt)
+            norm_log = jnp.log(jnp.abs(denom0) + 1e-30) + rlog[0]
+
+            def one(key):
+                L: list = []
+                llog = jnp.zeros((), dtype=jnp.float32)
+                logq = jnp.zeros((), dtype=jnp.float32)
+                bits_all = []
+                tr_last = None
+                for c in range(nC):
+                    Kp, bits, lq, tr = self._sample_column(
+                        T, c, L, rights[c], key, dt
+                    )
+                    logq = logq + lq
+                    bits_all.extend(bits[v] for v in cp.columns[c])
+                    if c == nC - 1:
+                        tr_last = tr
+                    else:
+                        L, dlog = be._zip_column(
+                            T, c, L, +1, rank=self.proj_rank,
+                            K_of=lambda v, Kp=Kp: Kp[v],
+                        )
+                        llog = llog + dlog
+                # p/q of the full bitstring: the last column's conditionals
+                # are exact on the chain, so the partial-bitstring ratio is
+                # the full one (reference convention)
+                poverq = (
+                    jnp.log(tr_last) + llog + rlog[nC - 1] - norm_log
+                )
+                return jnp.stack(bits_all), logq, jnp.exp(poverq)
+
+            bits, logq, poverq = jax.vmap(one)(keys)
+            return bits, logq, poverq
+
+        return jax.jit(run)
+
+    def sample_directly_certified(self, nsamples: int, seed: int = 0):
+        """Draw `nsamples` bitstrings with on-the-fly p/q certificates.
+
+        Returns a list of dicts with keys ``poverq``, ``logq``,
+        ``bitstring`` (vertex -> 0..d-1), mirroring the flex
+        `tnqs.sample_directly_certified`."""
+        from .utils.transfer import device_get
+
+        if self._fn is None:
+            self._fn = self._build()
+        keys = jax.random.split(jax.random.PRNGKey(seed), nsamples)
+        bits, logq, poverq = self._fn(self.bmps.engine.T, keys)
+        bits = np.asarray(device_get(bits))
+        logq = np.asarray(device_get(logq))
+        poverq = np.asarray(device_get(poverq))
+        out = []
+        for s in range(nsamples):
+            out.append(
+                dict(
+                    poverq=float(poverq[s]),
+                    logq=float(logq[s]),
+                    bitstring={
+                        v: int(bits[s, i]) for i, v in enumerate(self.keys_order)
+                    },
+                )
+            )
+        return out
