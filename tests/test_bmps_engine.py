@@ -89,6 +89,7 @@ def test_sampler_product_state_is_deterministic():
     g = tnqs.named_grid((3, 3))
     psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
     eng = LatticeEngine(psi, chi=2)
+    eng.bp_update(maxiter=10)  # Z_BP convention needs converged messages
     sam = BMPSSampler(BMPSEngine(eng, rank=4), proj_rank=4)
     out = sam.sample_directly_certified(6, seed=3)
     for o in out:
@@ -97,9 +98,10 @@ def test_sampler_product_state_is_deterministic():
 
 
 def test_sampler_poverq_matches_exact_amplitudes():
-    """At full MPS rank the certified p/q equals |<x|psi>|^2/(norm q(x))
-    from exact contraction (reference `get_one_sample`,
-    `/root/reference/src/sampling.jl:171-213`)."""
+    """At full MPS rank the certified p/q equals |<x|psi>|^2/q(x) from exact
+    contraction, with p UN-normalized so E_q[p/q] = <psi|psi> (reference
+    `get_one_sample` `/root/reference/src/sampling.jl:171-213` and the
+    anchor `test_sampling.jl:43-44`)."""
     from tnqs.bmps_engine import BMPSSampler
     from tnqs.core.tensor import onehot
     from tnqs.networks import TensorNetwork
@@ -123,17 +125,21 @@ def test_sampler_poverq_matches_exact_amplitudes():
             P = st._adapt_like(onehot(s[v][0], bitstring[v]))
             proj[v] = st[v] * P
         amp = tnqs.contract_network(TensorNetwork(proj, st.graph.copy()), alg="exact")
-        return abs(complex(amp)) ** 2 / nrm
+        return abs(complex(amp)) ** 2
 
     eng = LatticeEngine(st, chi=2)
+    eng.bp_update(maxiter=30)
+    # the certificate convention divides by the BP partition function
+    # (= the reference's gauge_and_scale normalization)
+    z_bp = abs(complex(tnqs.norm_sqr(st, alg="bp")))
     sam = BMPSSampler(BMPSEngine(eng, rank=8), proj_rank=8)
     out = sam.sample_directly_certified(10, seed=5)
     for o in out:
-        want = p_exact(o["bitstring"]) / np.exp(o["logq"])
-        assert abs(o["poverq"] - want) / want < 1e-4
-    # importance-sampling consistency: E_q[p/q] = 1
+        want = p_exact(o["bitstring"]) / np.exp(o["logq"]) / z_bp
+        assert abs(o["poverq"] - want) / want < 1e-3
+    # importance-sampling consistency: E_q[p/q] = <psi|psi>/Z_BP
     pq = np.array([o["poverq"] for o in out])
-    assert abs(pq.mean() - 1.0) < 5e-2
+    assert abs(pq.mean() - nrm / z_bp) / (nrm / z_bp) < 5e-2
 
 
 def test_heavyhex_matches_flex_boundarymps():

@@ -101,3 +101,33 @@ def test_halo_rejects_nonadjacent_bands():
     plan = LatticePlan.build(g)
     with pytest.raises(ValueError, match="adjacent"):
         HaloBandPlan.build(plan, 4)
+
+
+def test_halo_full_step_matches_unsharded():
+    """The halo-sharded FULL layer (gates + interleaved BP) reproduces the
+    unsharded engine step band-for-band (`tnqs/parallel/halo_step.py`);
+    fixed BP sweep counts make the schedules comparable (tolerance 0 forces
+    the unsharded while_loop to its full budget)."""
+    from tnqs.parallel.halo_step import HaloStepEngine
+
+    g = tnqs.named_grid((6, 2))
+    layer = [("Rx", [v], 0.5) for v in g.vertices()] + [
+        ("Rzz", e, 0.6) for e in g.edges()
+    ]
+    psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+
+    eng0 = LatticeEngine(psi, chi=2)
+    step0 = eng0.make_step(layer, cutoff=1e-12, bp_maxiter=6, bp_tolerance=0.0)
+    eng0.T, eng0.M, e0 = step0(eng0.T, eng0.M)
+    z0 = eng0.expect_1site("Z")
+
+    eng1 = LatticeEngine(psi, chi=2)
+    hse = HaloStepEngine(eng1, n_bands=3, mesh=make_mesh(3))
+    step1 = hse.make_step(layer, cutoff=1e-12, bp_maxiter=6)
+    hse.Tb, hse.Mb, e1 = step1(hse.Tb, hse.Mb)
+    z1 = hse.unshard().expect_1site("Z")
+
+    assert max(
+        abs(complex(z0[v]).real - complex(z1[v]).real) for v in g.vertices()
+    ) < 1e-5
+    assert np.max(np.abs(np.asarray(e0) - np.asarray(e1))) < 1e-6

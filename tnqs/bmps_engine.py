@@ -432,10 +432,25 @@ class BMPSSampler:
     built once per call; the left, bit-projected boundary MPS is evolved
     per sample by the shared zip-up with the site legs contracted against
     one-hot projectors scaled by 1/sqrt(q_v).  All dropped norm factors
-    accumulate in log space, so the returned p(x)/q(x) is absolute:
-    ``poverq = tr_first(last column) * exp(logscales) / norm_estimate``,
-    the same estimator as the reference's trace convention (which instead
-    pre-gauges the state to unit norm).
+    accumulate in log space (a 127-site contraction is ~2^-127 —
+    un-tracked it is a hard f32 zero), so the returned p(x)/q(x) is
+    absolute up to one convention factor:
+    ``poverq = tr_first(last column) * exp(logscales) / Z_BP`` — the
+    reference's trace convention with p(x) = |<x|psi>|^2 normalized by the
+    BP partition function, so ``E_q[p/q] = <psi|psi>/Z_BP ~= 1``.  The
+    reference reaches the same convention by pre-gauging the state with
+    `gauge_and_scale` (its gauged state has norm N/Z_BP); dividing the
+    certificate instead avoids mutating the state.  Crucially there is NO
+    division by a boundary-MPS norm estimate: the norm sweep of the
+    doubled-layer network is rank-limited and biased low (measured 4.7x
+    low at rank 10 on Eagle-127), while the projected sweeps are
+    near-exact (bit-projection collapses the ket), so dividing by it
+    would inflate every certificate by the norm-sweep truncation loss.
+    The rank-limited norm estimate (in the same Z_BP convention) is still
+    reported per call as ``norm_estimate`` for diagnostics.
+
+    The engine's messages `engine.M` enter Z_BP — run `engine.bp_update()`
+    (or arrive via `evolve`, which converges them) before sampling.
 
     `rank` of the underlying :class:`BMPSEngine` is the norm-MPS bond
     dimension (`norm_mps_bond_dimension`); `proj_rank` bounds the
@@ -474,29 +489,88 @@ class BMPSSampler:
             "qQAB,plmq,PrRQ,saAlr,sbBmR->pPab", D, Ml, Mr, K, B, optimize=True
         )
 
+    @staticmethod
+    def _renorm(X):
+        """Normalize an environment carry, returning (X/n, log n).
+
+        Environment walks multiply one O(<1) factor per vertex, so a
+        127-vertex lattice underflows f32 outright (p(x) ~ 2^-127); every
+        carry is therefore renormalized per step with the scale tracked in
+        log space."""
+        n = jnp.sqrt(jnp.sum(jnp.abs(X) ** 2)) + 1e-30
+        return X / n, jnp.log(jnp.real(n)).astype(jnp.float32)
+
+    def _log_z_bp(self, T, M):
+        """log of the BP partition function Z_BP = prod_v z_v / prod_e z_e
+        of the norm network (reference `freenergy`,
+        `abstractbeliefpropagationcache.jl:289-304`).
+
+        The reference pre-gauges the state with `gauge_and_scale` so its
+        sampled state has norm N/Z_BP ~= 1; dividing the certificates by
+        Z_BP is the same convention without mutating the state — and it is
+        REQUIRED at scale: engine tensors are per-tensor normalized, so the
+        raw network norm is ~2^-nv (hard f32 zero at 127 sites)."""
+        from .engine import _absorb_message
+
+        eng = self.bmps.engine
+        plan = eng.plan
+        logz = jnp.zeros((), dtype=jnp.float32)
+        for k, verts in plan.buckets.items():
+            in_eids = np.array(
+                [
+                    [plan.edge_ids[(u, v)] for u in plan.neighbor_order[v]]
+                    for v in verts
+                ],
+                dtype=np.int32,
+            ).reshape(len(verts), k)
+            A = T[k]
+            for j in range(k):
+                A = _absorb_message(A, M[jnp.asarray(in_eids[:, j])], axis=2 + j)
+            axes = "".join(chr(ord("a") + j) for j in range(k))
+            z = jnp.einsum(f"Bs{axes},Bs{axes}->B", A, jnp.conj(T[k]))
+            logz = logz + jnp.sum(jnp.log(jnp.abs(z) + 1e-30)).astype(jnp.float32)
+        uv = []
+        vu = []
+        seen = set()
+        for (u, v), eid in plan.edge_ids.items():
+            if (v, u) in seen:
+                continue
+            seen.add((u, v))
+            uv.append(eid)
+            vu.append(plan.edge_ids[(v, u)])
+        ze = jnp.einsum("eij,eij->e", M[jnp.asarray(uv)], M[jnp.asarray(vu)])
+        logz = logz - jnp.sum(jnp.log(jnp.abs(ze) + 1e-30)).astype(jnp.float32)
+        return logz
+
     def _column_norm(self, T, c: int, R: list, dt):
         """Traced-site walk down column c closed against the cut-c MPS:
-        the boundary-MPS estimate of <psi|psi> (relative scale)."""
+        the boundary-MPS estimate of log <psi|psi> (relative scale)."""
         be = self.bmps
         l_of, r_of = self._cut_maps(c)
         U = jnp.ones((1, 1, 1, 1), dtype=jnp.float32).astype(dt)
+        ulog = jnp.zeros((), dtype=jnp.float32)
         for v in be.cplan.columns[c]:
             K = be._vertex_tensor(T, v)
             Ml, Mr = self._msgs(v, l_of, r_of, [], R, U.shape[0], U.shape[1], dt)
-            U = self._step_down(U, Ml, Mr, K, jnp.conj(K))
-        return U.reshape(())
+            U, dl = self._renorm(self._step_down(U, Ml, Mr, K, jnp.conj(K)))
+            ulog = ulog + dl
+        val = U.reshape(())
+        return jnp.log(jnp.abs(val) + 1e-30) + ulog
 
     def _sample_column(self, T, c: int, L: list, R: list, key, dt):
         """Sample every vertex of column c top-to-bottom; returns the
-        projected vertex tensors, the bits, log q(column), and the
-        unnormalized trace at the column's first vertex (the reference's
-        `traces[1]`, `sampling.jl:241-249`)."""
+        projected vertex tensors, the bits, log q(column), and the LOG of
+        the unnormalized trace at the column's first vertex (the
+        reference's `traces[1]`, `sampling.jl:241-249`; log space because
+        a 127-site trace underflows f32)."""
         be = self.bmps
         col = be.cplan.columns[c]
         l_of, r_of = self._cut_maps(c)
-        # below environments with traced sites
+        # below environments with traced sites, renormalized per step
         D = [None] * (len(col) + 1)
+        dlog = [None] * (len(col) + 1)
         D[len(col)] = jnp.ones((1, 1, 1, 1), dtype=jnp.float32).astype(dt)
+        dlog[len(col)] = jnp.zeros((), dtype=jnp.float32)
         for i in range(len(col) - 1, -1, -1):
             v = col[i]
             K = be._vertex_tensor(T, v)
@@ -505,10 +579,12 @@ class BMPSSampler:
             Ml, Mr = self._msgs(
                 v, l_of, r_of, L, R, D[i + 1].shape[0], D[i + 1].shape[1], dt
             )
-            D[i] = self._step_up(D[i + 1], Ml, Mr, K, jnp.conj(K))
+            D[i], dl = self._renorm(self._step_up(D[i + 1], Ml, Mr, K, jnp.conj(K)))
+            dlog[i] = dlog[i + 1] + dl
         # downward autoregressive walk
         U = jnp.ones((1, 1, 1, 1), dtype=jnp.float32).astype(dt)
-        Kp, bits, tr_first = {}, {}, None
+        ulog = jnp.zeros((), dtype=jnp.float32)
+        Kp, bits, log_tr_first = {}, {}, None
         logq = jnp.zeros((), dtype=jnp.float32)
         for i, v in enumerate(col):
             K = be._vertex_tensor(T, v)
@@ -520,7 +596,9 @@ class BMPSSampler:
             diag = jnp.clip(jnp.real(jnp.diagonal(rho)), 0.0, None)
             tr = jnp.sum(diag) + 1e-30
             if i == 0:
-                tr_first = tr
+                log_tr_first = (
+                    jnp.log(tr).astype(jnp.float32) + ulog + dlog[i + 1]
+                )
             qdist = diag / tr
             b = jax.random.categorical(
                 jax.random.fold_in(key, self._vidx[v]),
@@ -534,8 +612,9 @@ class BMPSSampler:
             Kp[v] = Kpv
             bits[v] = b
             logq = logq + jnp.log(qv.astype(jnp.float32))
-            U = self._step_down(U, Ml, Mr, Kpv, jnp.conj(Kpv))
-        return Kp, bits, logq, tr_first
+            U, du = self._renorm(self._step_down(U, Ml, Mr, Kpv, jnp.conj(Kpv)))
+            ulog = ulog + du
+        return Kp, bits, logq, log_tr_first
 
     # -- public API -------------------------------------------------------
     def _build(self):
@@ -543,10 +622,12 @@ class BMPSSampler:
         cp = be.cplan
         nC = len(cp.columns)
 
-        def run(T, keys):
+        def run(T, M, keys):
             dt = None
             for arr in T.values():
                 dt = arr.dtype
+            # the BP-norm convention divisor (reference: gauge_and_scale)
+            log_zbp = self._log_z_bp(T, M)
             # sample-independent right (norm) boundary MPSes + log scales
             rights: list = [None] * nC
             rlog: list = [None] * nC
@@ -558,23 +639,22 @@ class BMPSSampler:
                 if c > 0:
                     cur, ls = be._zip_column(T, c, cur, -1)
                     acc = acc + ls
-            denom0 = self._column_norm(T, 0, rights[0], dt)
-            norm_log = jnp.log(jnp.abs(denom0) + 1e-30) + rlog[0]
+            norm_log = self._column_norm(T, 0, rights[0], dt) + rlog[0]
 
             def one(key):
                 L: list = []
                 llog = jnp.zeros((), dtype=jnp.float32)
                 logq = jnp.zeros((), dtype=jnp.float32)
                 bits_all = []
-                tr_last = None
+                log_tr_last = None
                 for c in range(nC):
-                    Kp, bits, lq, tr = self._sample_column(
+                    Kp, bits, lq, log_tr = self._sample_column(
                         T, c, L, rights[c], key, dt
                     )
                     logq = logq + lq
                     bits_all.extend(bits[v] for v in cp.columns[c])
                     if c == nC - 1:
-                        tr_last = tr
+                        log_tr_last = log_tr
                     else:
                         L, dlog = be._zip_column(
                             T, c, L, +1, rank=self.proj_rank,
@@ -583,14 +663,12 @@ class BMPSSampler:
                         llog = llog + dlog
                 # p/q of the full bitstring: the last column's conditionals
                 # are exact on the chain, so the partial-bitstring ratio is
-                # the full one (reference convention)
-                poverq = (
-                    jnp.log(tr_last) + llog + rlog[nC - 1] - norm_log
-                )
+                # the full one (reference convention, `sampling.jl:186-190`)
+                poverq = log_tr_last + llog + rlog[nC - 1] - log_zbp
                 return jnp.stack(bits_all), logq, jnp.exp(poverq)
 
             bits, logq, poverq = jax.vmap(one)(keys)
-            return bits, logq, poverq
+            return bits, logq, poverq, jnp.exp(norm_log - log_zbp)
 
         return jax.jit(run)
 
@@ -605,16 +683,20 @@ class BMPSSampler:
         if self._fn is None:
             self._fn = self._build()
         keys = jax.random.split(jax.random.PRNGKey(seed), nsamples)
-        bits, logq, poverq = self._fn(self.bmps.engine.T, keys)
+        bits, logq, poverq, n_hat = self._fn(
+            self.bmps.engine.T, self.bmps.engine.M, keys
+        )
         bits = np.asarray(device_get(bits))
         logq = np.asarray(device_get(logq))
         poverq = np.asarray(device_get(poverq))
+        n_hat = float(np.asarray(device_get(n_hat)))
         out = []
         for s in range(nsamples):
             out.append(
                 dict(
                     poverq=float(poverq[s]),
                     logq=float(logq[s]),
+                    norm_estimate=n_hat,
                     bitstring={
                         v: int(bits[s, i]) for i, v in enumerate(self.keys_order)
                     },

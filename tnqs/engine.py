@@ -346,6 +346,36 @@ def compile_circuit(plan: LatticePlan, circuit: Sequence, d: int = 2) -> list:
     return compiled
 
 
+def build_program(plan: LatticePlan, compiled: list) -> list:
+    """Interleave compiled gate groups with BP refreshes.
+
+    Simulates the flex driver's affected-vertex rule at compile time
+    (`/root/reference/src/Apply/apply_gates.jl:64-91`): a BP refresh
+    precedes a 2-site group iff any of its vertices were touched since the
+    last refresh.  Shared by the single-device step (`make_step`) and the
+    halo-sharded step (`tnqs/parallel/halo_step.py`)."""
+    program: list = []
+    affected: set = set()
+    for gidx, g in enumerate(compiled):
+        if isinstance(g, OneSiteGroup):
+            program.append(("one", g, gidx))
+            for k, (pos, _, _) in g.per_bucket.items():
+                for p in pos:
+                    affected.add(plan.buckets[k][int(p)])
+        else:
+            verts = set()
+            for cls in g.classes:
+                for up, vp in zip(cls.u_pos, cls.v_pos):
+                    verts.add(plan.buckets[cls.ku][int(up)])
+                    verts.add(plan.buckets[cls.kv][int(vp)])
+            if affected & verts:
+                program.append(("bp",))
+                affected = set()
+            program.append(("two", g, gidx))
+            affected |= verts
+    return program
+
+
 # ----------------------------------------------------------------------
 # kernels (all shapes static; called inside jit)
 # ----------------------------------------------------------------------
@@ -443,6 +473,38 @@ def _svd_fallback(mat: Array):
     return jnp.linalg.svd(mat, full_matrices=False)
 
 
+class _BandRows:
+    """Row indices for one band of a halo-sharded step.
+
+    Wraps a static [D, B] per-band row table: `rows` is the traced band
+    selection (for gathers), while the static per-band inverse permutation
+    keeps `_scatter_rows` on its exact single-pass gather+select form even
+    though the band index is traced.  Rows listed in `drop_rows` (padding
+    sentinels like the clean-zero ghost row) are excluded from the inverse,
+    so their updates are discarded instead of written."""
+
+    def __init__(self, rows_tbl: np.ndarray, n_rows: int, b_idx, drop_rows=()):
+        self._tbl = np.asarray(rows_tbl, dtype=np.int32)
+        D, B = self._tbl.shape
+        inv = np.full((D, n_rows), -1, dtype=np.int32)
+        drop = set(int(r) for r in drop_rows)
+        for b in range(D):
+            for i, r in enumerate(self._tbl[b]):
+                r = int(r)
+                if 0 <= r < n_rows and r not in drop and inv[b, r] < 0:
+                    inv[b, r] = i
+        self._inv = inv
+        self.rows = jnp.asarray(self._tbl)[b_idx]
+        self.b_idx = b_idx
+
+    def __len__(self):
+        return self._tbl.shape[1]
+
+
+def _rows_of(pos):
+    return pos.rows if isinstance(pos, _BandRows) else pos
+
+
 def _scatter_rows(Tk: Array, pos, updates: Array) -> Array:
     """Write `updates` [B, ...] into rows `pos` of `Tk` [n, ...].
 
@@ -450,8 +512,14 @@ def _scatter_rows(Tk: Array, pos, updates: Array) -> Array:
     static row gather + select — exact and single-pass, where XLA's
     `at[pos].set` scatter blows the 16MB scoped-VMEM limit on 24MB update
     rows at chi=64 and a one-hot matmul pays the multi-pass f32 precision
-    tax.  Positions must be unique."""
+    tax.  Positions must be unique.  A `_BandRows` pos keeps the same form
+    with the band-selected static inverse."""
     n = Tk.shape[0]
+    if isinstance(pos, _BandRows):
+        inv = jnp.asarray(pos._inv)[pos.b_idx]
+        gathered = updates[jnp.clip(inv, 0, None)]
+        sel = (inv >= 0).reshape((n,) + (1,) * (Tk.ndim - 1))
+        return jnp.where(sel, gathered, Tk)
     pos = np.asarray(pos)
     inv = np.full((n,), -1, dtype=np.int32)
     inv[pos] = np.arange(len(pos), dtype=np.int32)
@@ -723,7 +791,7 @@ class LatticeEngine:
         Implemented as a static sum over the <=k possible slot values (slots
         are per-edge data, but the permutation must be static): tensors with
         slot j get jnp.moveaxis(.., 1+j, -1), selected by a mask."""
-        A = T[k][pos]  # [B, d, chi x k]
+        A = T[k][_rows_of(pos)]  # [B, d, chi x k]
         out = None
         for j in range(k):
             Aj = jnp.moveaxis(A, 2 + j, A.ndim - 1)
@@ -1044,30 +1112,7 @@ class LatticeEngine:
                     ]
                 )
         n_gates = len(circuit)
-
-        # simulate the flex driver's affected-vertex rule at compile time
-        # (`src/Apply/apply_gates.jl:64-91`): a BP refresh precedes a 2-site
-        # group iff any of its vertices were touched since the last refresh
-        program: list = []
-        affected: set = set()
-        plan = self.plan
-        for gidx, g in enumerate(compiled):
-            if isinstance(g, OneSiteGroup):
-                program.append(("one", g, gidx))
-                for k, (pos, _, _) in g.per_bucket.items():
-                    for p in pos:
-                        affected.add(plan.buckets[k][int(p)])
-            else:
-                verts = set()
-                for cls in g.classes:
-                    for up, vp in zip(cls.u_pos, cls.v_pos):
-                        verts.add(plan.buckets[cls.ku][int(up)])
-                        verts.add(plan.buckets[cls.kv][int(vp)])
-                if affected & verts:
-                    program.append(("bp",))
-                    affected = set()
-                program.append(("two", g, gidx))
-                affected |= verts
+        program = build_program(self.plan, compiled)
 
         # Intra-layer refreshes only feed the gauge sandwich (W cancels
         # against W^-1 exactly) and the truncation weighting, so a few
