@@ -131,3 +131,21 @@ def test_halo_full_step_matches_unsharded():
         abs(complex(z0[v]).real - complex(z1[v]).real) for v in g.vertices()
     ) < 1e-5
     assert np.max(np.abs(np.asarray(e0) - np.asarray(e1))) < 1e-6
+
+
+def test_sorted_order_bands_heavyhex_lattices():
+    """Generator order interleaves heavy-hex columns, but sorted (x, y)
+    order bands them cleanly — the flagship Eagle-127 lattice splits into
+    8 adjacent bands (`HaloBandPlan.build(..., order="sorted")`)."""
+    from tnqs.parallel.halo import HaloBandPlan
+
+    for g, nb in [
+        (tnqs.heavy_hexagonal_lattice(2, 2), 8),
+        (tnqs.eagle_lattice(), 8),
+    ]:
+        psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+        plan = LatticeEngine(psi, chi=2).plan
+        with pytest.raises(ValueError, match="adjacent"):
+            HaloBandPlan.build(plan, nb)  # generator order interleaves
+        hp = HaloBandPlan.build(plan, nb, order="sorted")
+        assert hp.n_bands == nb

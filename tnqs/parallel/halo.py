@@ -65,10 +65,19 @@ class HaloBandPlan:
     groups: list
 
     @staticmethod
-    def build(plan: LatticePlan, n_bands: int) -> "HaloBandPlan":
+    def build(plan: LatticePlan, n_bands: int, order=None) -> "HaloBandPlan":
+        """`order`: optional vertex sort key for the band split.  The default
+        uses generator order; `order="sorted"` sorts the (x, y) vertex names
+        — the column-major order that makes heavy-hex / Eagle lattices band
+        cleanly (their generator order interleaves columns and violates the
+        adjacent-band constraint)."""
         verts = plan.vertices
         nv = len(verts)
-        # contiguous balanced bands in vertex (generator) order
+        if order == "sorted":
+            verts = sorted(verts)
+        elif callable(order):
+            verts = sorted(verts, key=order)
+        # contiguous balanced bands in the chosen order
         band_of = {}
         for i, v in enumerate(verts):
             band_of[v] = min(n_bands - 1, i * n_bands // nv)

@@ -364,13 +364,14 @@ class HaloStepEngine:
         engine = hse.unshard()
     """
 
-    def __init__(self, engine: LatticeEngine, n_bands: int, mesh: Mesh):
+    def __init__(self, engine: LatticeEngine, n_bands: int, mesh: Mesh, order=None):
         if mesh.devices.size != n_bands:
             raise ValueError("mesh size must equal the number of bands")
         self.engine = engine
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
-        self.hplan = HaloBandPlan.build(engine.plan, n_bands)
+        # order="sorted" bands heavy-hex / Eagle lattices (see HaloBandPlan)
+        self.hplan = HaloBandPlan.build(engine.plan, n_bands, order=order)
         self.Tb = None
         self.Mb = None
 
