@@ -118,6 +118,89 @@ def bench_flex(g, layer, chi):
     return 1.0 / dt
 
 
+def bench_workload2_engine():
+    """BASELINE workload 2 at the reference's own parameters
+    (`/root/reference/examples/heavyhexIsing_dynamics.jl`): Eagle-127,
+    20 kicked-Ising layers at chi=8, boundary-MPS <Z> at MPS rank 10, and
+    50 directly-certified samples — the full pipeline on the compiled tier.
+    Returns steady-state stage timings (compiles are persistent-cached
+    across processes) and the certification statistics."""
+    import jax
+    import jax.numpy as jnp
+
+    import tnqs
+    from tnqs.bmps_engine import BMPSEngine, BMPSSampler
+    from tnqs.engine import LatticeEngine
+    from tnqs.models import heavy_hex_kicked_ising_layer
+
+    g = tnqs.eagle_lattice()
+    layer = heavy_hex_kicked_ising_layer(g, float(np.pi / 4), 0.4)
+    psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+    eng = LatticeEngine(psi, chi=8, dtype=jnp.complex64)
+    step = eng.make_step(layer, cutoff=1e-12, bp_maxiter=25)
+    t0 = time.time()
+    T, M = eng.T, eng.M
+    for _ in range(20):
+        T, M, errors = step(T, M)
+    eng.T, eng.M = T, M
+    be = BMPSEngine(eng, rank=10)
+    z = be.expect_1site("Z")  # host fetch closes the evolve+expect region
+    t_evolve_expect = time.time() - t0
+    t0 = time.time()
+    z = be.expect_1site("Z")
+    t_expect = time.time() - t0
+    sam = BMPSSampler(be, proj_rank=40)
+    cert = sam.sample_directly_certified(50, seed=0)
+    t0 = time.time()
+    cert = sam.sample_directly_certified(50, seed=1)
+    t_sample = time.time() - t0
+    pq = np.array([c["poverq"] for c in cert])
+    return dict(
+        z_center=float(np.real(z[(11, 5)])),
+        pq_mean=float(pq.mean()),
+        pq_rel_std=float(pq.std() / pq.mean()),
+        evolve_expect_s=t_evolve_expect,
+        expect_s=t_expect,
+        sample50_s=t_sample,
+    )
+
+
+def bench_workload2_flex(cache: dict | None):
+    """The same pipeline on the host flex tier (reference execution model);
+    measured once per host and cached."""
+    if cache and "w2_flex" in cache:
+        return cache["w2_flex"]
+    import tnqs
+    from tnqs.models import heavy_hex_kicked_ising_layer
+
+    g = tnqs.eagle_lattice()
+    layer = heavy_hex_kicked_ising_layer(g, float(np.pi / 4), 0.4)
+    psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+    bpc = tnqs.BeliefPropagationCache(psi)
+    t0 = time.time()
+    for _ in range(20):
+        bpc, _ = tnqs.apply_gates(
+            layer, bpc, apply_kwargs=dict(cutoff=1e-12, maxdim=8, normalize_tensors=True)
+        )
+    t_evolve = time.time() - t0
+    psi_t = bpc.network
+    t0 = time.time()
+    sz = tnqs.expect(psi_t, [("Z", [(11, 5)])], alg="boundarymps", mps_bond_dimension=10)
+    t_expect = time.time() - t0
+    t0 = time.time()
+    tnqs.sample_directly_certified(
+        psi_t, 50, alg="boundarymps", norm_mps_bond_dimension=10,
+        projected_mps_bond_dimension=40, rng=np.random.default_rng(0),
+    )
+    t_sample = time.time() - t0
+    return dict(
+        z_center=float(np.real(sz[0])),
+        evolve_s=t_evolve,
+        expect_s=t_expect,
+        sample50_s=t_sample,
+    )
+
+
 def julia_bound_lps(g, layer, chi, flex_lps):
     """BLAS-bound upper estimate of CPU-Julia layers/sec on this host.
 
@@ -152,30 +235,33 @@ def main():
     import socket
 
     host = socket.gethostname()
+    cached: dict = {}
+    if CACHE.exists():
+        c = json.loads(CACHE.read_text())
+        if c.get("chi") == chi and c.get("nv") == g.nv() and c.get("host") == host:
+            cached = c
     flex_lps = julia_lps = None
-    if not os.environ.get("TNQS_BENCH_FORCE_FLEX") and CACHE.exists():
-        cached = json.loads(CACHE.read_text())
-        if (
-            cached.get("chi") == chi
-            and cached.get("nv") == g.nv()
-            and cached.get("host") == host
-        ):
-            flex_lps = cached["layers_per_sec"]
-            julia_lps = cached.get("julia_bound_lps")
+    if not os.environ.get("TNQS_BENCH_FORCE_FLEX"):
+        flex_lps = cached.get("layers_per_sec")
+        julia_lps = cached.get("julia_bound_lps")
     if flex_lps is None or julia_lps is None:
         flex_lps = bench_flex(g, layer, chi)
         julia_lps = julia_bound_lps(g, layer, chi, flex_lps)
-        CACHE.write_text(
-            json.dumps(
-                {
-                    "chi": chi,
-                    "nv": g.nv(),
-                    "host": host,
-                    "layers_per_sec": flex_lps,
-                    "julia_bound_lps": julia_lps,
-                }
-            )
+        cached.update(
+            chi=chi, nv=g.nv(), host=host,
+            layers_per_sec=flex_lps, julia_bound_lps=julia_lps,
         )
+        CACHE.write_text(json.dumps(cached))
+
+    # workload 2 (reference parameters): compiled pipeline + flex baseline
+    w2 = w2_flex = None
+    if not FAST and not os.environ.get("TNQS_BENCH_SKIP_W2"):
+        w2 = bench_workload2_engine()
+        w2_flex = bench_workload2_flex(cached)
+        if "w2_flex" not in cached:
+            cached["w2_flex"] = w2_flex
+            cached.update(chi=chi, nv=g.nv(), host=host)
+            CACHE.write_text(json.dumps(cached))
 
     result = {
         "metric": f"heavy-hex {g.nv()}q kicked-Ising gate-layers/sec @ chi={chi}",
@@ -183,6 +269,12 @@ def main():
         "unit": "layers/sec",
         "vs_baseline": round(layers_per_sec / flex_lps, 2),
     }
+    if w2 is not None and w2_flex is not None:
+        w2_total = w2["expect_s"] + w2["sample50_s"]
+        w2f_total = w2_flex["expect_s"] + w2_flex["sample50_s"]
+        result["w2_measure_s"] = round(w2_total, 3)
+        result["w2_flex_measure_s"] = round(w2f_total, 2)
+        result["w2_speedup"] = round(w2f_total / w2_total, 1)
     print(json.dumps(result))
     julia_note = (
         f"BLAS-bound CPU-Julia estimate <= {julia_lps:.3f} layers/s "
@@ -195,6 +287,15 @@ def main():
         f"flex/reference-style: {flex_lps:.4f} layers/s; " + julia_note,
         file=sys.stderr,
     )
+    if w2 is not None:
+        print(
+            "# workload-2 (chi=8, rank=10): engine BMPS<Z> "
+            f"{w2['expect_s']:.2f}s + 50 certified samples {w2['sample50_s']:.2f}s "
+            f"(flex: {w2_flex['expect_s']:.1f}s + {w2_flex['sample50_s']:.1f}s); "
+            f"<Z>c={w2['z_center']:.4f} (flex {w2_flex['z_center']:.4f}); "
+            f"p/q rel-std {w2['pq_rel_std']:.2e}",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":
