@@ -63,11 +63,23 @@ def main():
     diff = max(abs(z[v] - z2[v]) for v in g.vertices())
     print(f"checkpoint resume max <Z> deviation: {diff:.2e}")
 
-    # hand off to the flex tier for boundary-MPS measurement
-    psi_t = eng.to_state()
-    sz = tnqs.expect(psi_t, [("Z", [center])], alg="boundarymps",
-                     mps_bond_dimension=4 if FAST else 10)
-    print(f"boundary-MPS <Z> at {center}: {np.real(sz[0]):.6f}")
+    # compiled boundary-MPS measurement + certified sampling (the full
+    # BASELINE workload-2 pipeline stays on-device; the flex tier remains
+    # available via eng.to_state() + tnqs.expect(alg="boundarymps"))
+    from tnqs.bmps_engine import BMPSEngine, BMPSSampler
+
+    rank = 4 if FAST else 10
+    be = BMPSEngine(eng, rank=rank)
+    zb = be.expect_1site("Z")
+    print(f"compiled boundary-MPS <Z> at {center}: {zb[center].real:.6f}")
+    sam = BMPSSampler(be, proj_rank=4 * rank)
+    cert = sam.sample_directly_certified(10 if FAST else 50, seed=0)
+    pq = np.array([c["poverq"] for c in cert])
+    print(f"certified sampling: mean(p/q)={pq.mean():.4f} rel-std={pq.std()/pq.mean():.2e}")
+    sz_is = sum(
+        c["poverq"] * (1 - 2 * c["bitstring"][center]) for c in cert
+    ) / pq.sum()
+    print(f"importance-sampled <Z> at {center}: {sz_is:.4f}")
 
 
 if __name__ == "__main__":
