@@ -135,3 +135,58 @@ def test_bp_sweep_kernel_gating():
     # degree-4 at chi=64 would blow VMEM; degree-4 at small chi is fine
     assert not supports_group(4, 64, 2, np.complex64)
     assert supports_group(4, 16, 2, np.complex64)
+
+
+def test_subspace_eigh_matches_full_on_decaying_spectra():
+    """Randomized subspace + Rayleigh-Ritz recovers the top-k eigenpairs of
+    PSD batches with decaying spectra (the truncation regime) and reports
+    the unresolved tail weight."""
+    from tnqs.ops.factorizations import subspace_eigh
+
+    rng = np.random.default_rng(0)
+    B, n, k = 4, 96, 32
+    A = rng.standard_normal((B, n, n)) + 1j * rng.standard_normal((B, n, n))
+    decay = (0.75 ** np.arange(n))[None, :, None]
+    G = (A * decay.swapaxes(1, 2)) @ (A * decay.swapaxes(1, 2)).conj().swapaxes(1, 2)
+    G = jnp.asarray(G.astype(np.complex64))
+    w_full, _ = jnp.linalg.eigh(G)
+    w_sub, V, tail = subspace_eigh(k)(G)
+    m = w_sub.shape[1]
+    top_full = np.asarray(jnp.real(w_full))[:, ::-1][:, :k]
+    top_sub = np.asarray(jnp.real(w_sub))[:, ::-1][:, :k]
+    rel = np.abs(top_sub - top_full) / top_full[:, :1]
+    assert rel.max() < 5e-5  # f32 eigensolve noise floor
+    # residual of the kept eigenpairs
+    GV = np.asarray(jnp.einsum("bij,bjm->bim", G, V))
+    wV = np.asarray(V) * np.asarray(jnp.real(w_sub))[:, None, :]
+    assert np.abs(GV - wV).max() / top_full.max() < 1e-4
+    # tail accounts for the rest of the trace
+    tr = np.asarray(jnp.real(jnp.einsum("bii->b", G)))
+    assert np.allclose(
+        np.asarray(tail) + np.asarray(jnp.real(w_sub)).sum(1), tr, rtol=1e-4
+    )
+
+
+def test_engine_subspace_truncation_matches_full():
+    """The gram path with the subspace truncation eigensolver reproduces the
+    full-eigh evolution to the f32 truncation floor (chi=32 makes the
+    theta Grams 64-dim > chi+16, so the subspace path actually engages)."""
+    import tnqs
+    from tnqs.engine import LatticeEngine
+
+    g = tnqs.named_grid((3, 3))
+    psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+    layer = [("Rx", [v], 0.5) for v in g.vertices()] + [
+        ("Rzz", e, 0.7) for e in g.edges()
+    ]
+    outs = {}
+    for method in ("full", "subspace"):
+        eng = LatticeEngine(psi, chi=32, dtype=jnp.complex64, factor_method="gram")
+        eng.trunc_method = method
+        eng.bp_update(maxiter=10)
+        errs = eng.evolve(layer, num_layers=2, cutoff=1e-10, bp_maxiter=10)
+        outs[method] = (eng.expect_1site("Z"), errs)
+    z_f, e_f = outs["full"]
+    z_s, e_s = outs["subspace"]
+    assert max(abs(z_f[v] - z_s[v]) for v in g.vertices()) < 1e-4
+    assert np.max(np.abs(e_f - e_s)) < 1e-5

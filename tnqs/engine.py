@@ -412,16 +412,25 @@ def _pseudo_sqrt_roots(E: Array, cutoff: float, eigh_fn=None):
     return W, Winv
 
 
-def _truncate_mask(s: Array, chi: int, cutoff: float):
+def _truncate_mask(s: Array, chi: int, cutoff: float, tail_extra: Array | None = None):
     """Static-shape truncation: given singular values [B, K] (descending),
     return (s_padded [B, chi], mask [B, chi], err [B]) following the
-    reference's relative-cutoff semantics (`truncation_rank`)."""
+    reference's relative-cutoff semantics (`truncation_rank`).
+
+    `tail_extra` [B] adds spectral weight known to lie BELOW the provided
+    values (the subspace eigensolver's unresolved tail) to both the total
+    and every cumulative tail, keeping cutoff decisions and reported
+    truncation errors exact."""
     B, K = s.shape
     p = s * s
     total = jnp.sum(p, axis=1, keepdims=True)
-    total = jnp.where(total > 0, total, 1.0)
     # tail[k] = sum_{j >= k} p_j
     tail = jnp.cumsum(p[:, ::-1], axis=1)[:, ::-1]
+    if tail_extra is not None:
+        te = tail_extra.astype(p.dtype)[:, None]
+        total = total + te
+        tail = tail + te
+    total = jnp.where(total > 0, total, 1.0)
     # n* = smallest k with tail[k] <= cutoff * total (keep k singular values)
     drop_ok = tail <= cutoff * total  # [B, K] monotone along axis 1
     nstar = K - jnp.sum(drop_ok, axis=1)  # number to keep by cutoff alone
@@ -433,7 +442,12 @@ def _truncate_mask(s: Array, chi: int, cutoff: float):
         s_pad = jnp.pad(s, ((0, 0), (0, chi - K)))
     mask = idx < nstar[:, None]
     # err = discarded fraction: tail at the first dropped position
-    tail_full = jnp.concatenate([tail, jnp.zeros((B, 1), dtype=tail.dtype)], axis=1)
+    beyond = (
+        jnp.zeros((B, 1), dtype=tail.dtype)
+        if tail_extra is None
+        else tail_extra.astype(tail.dtype)[:, None]
+    )
+    tail_full = jnp.concatenate([tail, beyond], axis=1)
     err = jnp.take_along_axis(tail_full, nstar[:, None], axis=1)[:, 0] / total[:, 0]
     return s_pad * mask, mask, err
 
@@ -580,6 +594,17 @@ class LatticeEngine:
         # (`/root/reference/src/utils.jl:18-26`), kept on the direct path
         # and for the f64 golden trajectories.
         self.env_gauge = "cholesky" if self.factor_method == "gram" else "eigh"
+        # Truncation eigensolver for the gram path's theta Gram matrices:
+        # "subspace" = randomized subspace iteration to the top chi+8
+        # pairs (MXU matmuls + one small Rayleigh-Ritz solve; the full
+        # 128-dim Jacobi solve is ~43% of a benchmark layer at chi=64),
+        # "full" = exact batched eigh.  Auto resolves to subspace on TPU;
+        # the unresolved spectral tail folds into the truncation errors.
+        self.trunc_method = (
+            "subspace"
+            if jax.default_backend() == "tpu" and self.factor_method == "gram"
+            else "full"
+        )
         # Precision of the BP message sweeps, the step's FLOPs hot spot
         # (~70% at chi=64).  None inherits the global policy (highest);
         # "high" (bf16_3x) is ~3x faster per sweep — validated to stay
@@ -981,21 +1006,43 @@ class LatticeEngine:
             gram_bank.setdefault(small, []).append((ci, G))
             mids.append((cls, theta_mat, Qu, Qv, Winv_u, Winv_v, ru, rv, Bn))
 
-        # phase 3: ONE eigh per Gram size
+        # phase 3: ONE eigensolve per Gram size.  Large Grams (n > chi+16)
+        # go through the randomized subspace solver — only the top chi+8
+        # pairs survive truncation anyway, and the full Jacobi solve at
+        # n=128 dominates the gate group on TPU.
+        from .ops.factorizations import subspace_eigh
+
         eig_results: dict = {}
         for n_small, items in gram_bank.items():
             Gs = jnp.concatenate([G for (_, G) in items], axis=0)
-            w, V = default_eigh(n_small)(Gs)
+            # chi >= 64: at chi=32 the subspace kernel combination (40-dim
+            # Jacobi + 64x40 CholeskyQR) exceeds the 128MB scoped-vmem
+            # budget in the fused step program; the full solve is also
+            # cheap there.  CPU tests force-engage via trunc_method.
+            min_chi = 64 if jax.default_backend() == "tpu" else 0
+            if (
+                self.trunc_method == "subspace"
+                and n_small > chi + 16
+                and chi >= min_chi
+            ):
+                w, V, tail = subspace_eigh(chi)(Gs)
+            else:
+                w, V = default_eigh(n_small)(Gs)
+                tail = None
             ofs = 0
             for (ci, G) in items:
                 b = G.shape[0]
-                eig_results[ci] = (w[ofs : ofs + b], V[ofs : ofs + b])
+                eig_results[ci] = (
+                    w[ofs : ofs + b],
+                    V[ofs : ofs + b],
+                    None if tail is None else tail[ofs : ofs + b],
+                )
                 ofs += b
 
         # phase 4: complete the SVD algebra, truncate, write back
         for ci, (cls, theta_mat, Qu, Qv, Winv_u, Winv_v, ru, rv, Bn) in enumerate(mids):
             m_, n_ = ru * d, rv * d
-            w, V = eig_results[ci]
+            w, V, tail = eig_results[ci]
             w = jnp.real(w[..., ::-1])
             V = V[..., ::-1]
             s = jnp.sqrt(jnp.clip(w, 0.0, None))
@@ -1011,15 +1058,17 @@ class LatticeEngine:
                 U = jnp.einsum("bmn,bnk->bmk", theta_mat, V) * inv[..., None, :].astype(M.dtype)
             T, M, errors = self._finish_two_site(
                 T, M, errors, cls, U, s, Vh, Qu, Qv, Winv_u, Winv_v, ru, rv, Bn,
-                cutoff, normalize,
+                cutoff, normalize, tail_extra=tail,
             )
         return T, M, errors
 
-    def _finish_two_site(self, T, M, errors, cls, U, s, Vh, Qu, Qv, Winv_u, Winv_v, ru, rv, Bn, cutoff, normalize):
+    def _finish_two_site(self, T, M, errors, cls, U, s, Vh, Qu, Qv, Winv_u, Winv_v, ru, rv, Bn, cutoff, normalize, tail_extra=None):
         """Shared tail of the two-site update: truncation, recombination,
         gauge removal, scatter, and singular-value message writeback."""
         chi, d = self.chi, self.d
-        s_m, mask, err = _truncate_mask(s.astype(self.real_dtype), chi, cutoff)
+        s_m, mask, err = _truncate_mask(
+            s.astype(self.real_dtype), chi, cutoff, tail_extra=tail_extra
+        )
         K = s.shape[1]
         if K >= chi:
             U = U[:, :, :chi]

@@ -110,3 +110,53 @@ def gram_svd(A: Array, eigh_fn=None) -> tuple[Array, Array, Array]:
     U = jnp.einsum("...mn,...nk->...mk", A, V) * inv[..., None, :].astype(A.dtype)
     Vh = jnp.conj(jnp.swapaxes(V, -1, -2))
     return U, s, Vh
+
+
+def subspace_eigh(k: int, oversample: int = 8, iters: int = 2, seed: int = 23):
+    """Top-(k+oversample) eigenpairs of hermitian-PSD batches by randomized
+    subspace iteration + Rayleigh-Ritz.
+
+    Returns a callable ``G [B, n, n] -> (w [B, m], V [B, n, m], tail [B])``
+    with ``m = min(n, k + oversample)``, eigenvalues ASCENDING (the `eigh`
+    convention, so callers flip exactly as for a full solve) and ``tail``
+    the non-negative weight tr(G) - sum(w) missed by the subspace — callers
+    fold it into truncation-error accounting.
+
+    Motivation: the engine's two-site truncation needs only the top chi
+    singular pairs of a (d*chi)^2 Gram matrix, but a full Jacobi solve at
+    n=128 costs ~42 ms per color group on TPU (~43% of a benchmark layer).
+    Subspace iteration replaces it with MXU matmuls plus one small
+    (k+oversample)-dim solve.  The Rayleigh-Ritz values are exact for the
+    projected operator, so the kept basis is optimal WITHIN the subspace;
+    with PSD spectra decaying past chi (the truncation regime) two power
+    iterations put the subspace error far below the f32 truncation floor
+    (validated against the full solve in `tests/test_ops.py`)."""
+
+    def solve(G: Array):
+        B, n, _ = G.shape
+        m = min(n, k + oversample)
+        if m >= n:
+            w, V = default_eigh(n)(G)
+            return w, V, jnp.zeros((B,), dtype=jnp.float32)
+        rng = np.random.default_rng(seed)
+        om_re = rng.standard_normal((n, m)).astype(np.float32)
+        om_im = rng.standard_normal((n, m)).astype(np.float32)
+        omega = jax.lax.complex(jnp.asarray(om_re), jnp.asarray(om_im)).astype(
+            G.dtype
+        )
+        Y = jnp.einsum("bij,jm->bim", G, omega)
+        for _ in range(iters):
+            Q, _ = cholesky_qr(Y)
+            Y = jnp.einsum("bij,bjm->bim", G, Q)
+        Q, _ = cholesky_qr(Y)
+        H = jnp.einsum("bim,bij,bjl->bml", jnp.conj(Q), G, Q)
+        H = 0.5 * (H + jnp.swapaxes(jnp.conj(H), -1, -2))
+        w, S = default_eigh(m)(H)
+        V = jnp.einsum("bnm,bml->bnl", Q, S)
+        tr = jnp.real(jnp.einsum("bii->b", G))
+        tail = jnp.clip(tr - jnp.sum(jnp.real(w), axis=1), 0.0, None).astype(
+            jnp.float32
+        )
+        return w, V, tail
+
+    return solve
