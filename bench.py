@@ -75,7 +75,13 @@ def bench_engine(g, layer, chi, steps):
         return jnp.full((1, 1), h)
 
     def fetch(T, M, errors):
-        return float(np.asarray(probe(T, M, errors))[0, 0])
+        val = float(np.asarray(probe(T, M, errors))[0, 0])
+        # a NaN anywhere in the state poisons the sum: a throughput number
+        # on a non-finite state is void (this caught a real regression —
+        # see docs/performance.md "the NaN hunt")
+        if not np.isfinite(val):
+            raise RuntimeError("benchmark state went non-finite; timing void")
+        return val
 
     # warm-up: compile step + probe, run one real step
     t0 = time.time()

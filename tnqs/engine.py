@@ -466,8 +466,17 @@ def _cholesky_gauge_roots(E: Array, eps: float):
     `A . conj(Winv)^T`, so identity requires Winv = conj(L^{-1})^T.
 
     Regularization delta ~ eps * tr(E)/chi keeps padded/null directions
-    SPD; their huge `Winv` entries are harmless because the gauged tensor
-    (and hence Q and the recombined update) is exactly zero there.
+    SPD.  Their `Winv` rows would be ~1/sqrt(delta) (~1e4 at f32): that is
+    NOT harmless — the recombined update is only zero there to eigensolve
+    accuracy, and the TPU Jacobi kernel's ~3e-6 residual times 1e4 injects
+    ~1e-2 of garbage per layer into the dead bond directions, which
+    compounds to NaN within 3 layers while bonds are still saturating
+    (diagnosed on the chi=64 Eagle benchmark; CPU LAPACK's ~1e-7 residual
+    kept the same amplification below the truncation floor).  Null
+    directions are therefore ZEROED in Winv (pseudo-inverse semantics,
+    matching the reference's spectral-cutoff pseudo-sqrt): environments
+    are s-diagonal messages, so the Cholesky diagonal localizes them
+    exactly.
     """
     H = 0.5 * (E + jnp.swapaxes(E, -1, -2).conj())
     chi = H.shape[-1]
@@ -478,7 +487,11 @@ def _cholesky_gauge_roots(E: Array, eps: float):
     L = jnp.linalg.cholesky(A)
     eye_b = jnp.broadcast_to(eye, A.shape)
     Linv = jax.scipy.linalg.solve_triangular(L, eye_b, lower=True)
-    Winv = jnp.conj(jnp.swapaxes(Linv, -1, -2))
+    # null detection: live directions have L[j,j]^2 >> delta; regularized
+    # null directions sit at L[j,j]^2 ~ delta
+    diagL2 = jnp.abs(jnp.diagonal(L, axis1=-2, axis2=-1)) ** 2
+    keep = (diagL2 > (64.0 * delta)[..., None]).astype(Linv.dtype)
+    Winv = jnp.conj(jnp.swapaxes(Linv * keep[..., :, None], -1, -2))
     return L.astype(E.dtype), Winv.astype(E.dtype)
 
 
@@ -1015,16 +1028,13 @@ class LatticeEngine:
         eig_results: dict = {}
         for n_small, items in gram_bank.items():
             Gs = jnp.concatenate([G for (_, G) in items], axis=0)
-            # chi >= 64: at chi=32 the subspace kernel combination (40-dim
-            # Jacobi + 64x40 CholeskyQR) exceeds the 128MB scoped-vmem
-            # budget in the fused step program; the full solve is also
-            # cheap there.  CPU tests force-engage via trunc_method.
-            min_chi = 64 if jax.default_backend() == "tpu" else 0
-            if (
-                self.trunc_method == "subspace"
-                and n_small > chi + 16
-                and chi >= min_chi
-            ):
+            # Beyond speed, the subspace route is the CORRECTNESS path on
+            # TPU for large grams: the full 128-dim Pallas Jacobi solve on
+            # pre-saturation (rank-deficient) theta spectra emits isolated
+            # NaNs that corrupt the state within a few layers, while the
+            # subspace result matched host-flex truth to 3e-4 on the
+            # chi=64 Eagle benchmark (`docs/performance.md`).
+            if self.trunc_method == "subspace" and n_small > chi + 16:
                 w, V, tail = subspace_eigh(chi)(Gs)
             else:
                 w, V = default_eigh(n_small)(Gs)
