@@ -83,7 +83,7 @@ def test_format_validation(rng):
     # 3D lattice cannot be row-partitioned into lines
     g = named_grid((2, 2, 2))
     psi = random_tensornetworkstate(g, "S=1/2", bond_dimension=2, rng=rng)
-    with pytest.raises(ValueError, match="line"):
+    with pytest.raises(ValueError, match="path"):
         BoundaryMPSCache(psi, 4)
 
 

@@ -48,7 +48,10 @@ def default_bmps_message_update_alg(network) -> str:
         return "fitting"
     if isinstance(network, TensorNetwork):
         return "zipup"
-    raise TypeError("Unrecognized network type. Don't know what BMPS message update alg to use.")
+    raise TypeError(
+        f"no default boundary-MPS message-update algorithm for {type(network).__name__}; "
+        "expected a TensorNetworkState, TensorNetwork, or form"
+    )
 
 
 def default_bmps_update_kwargs(network) -> dict:
@@ -158,12 +161,14 @@ class BoundaryMPSCache(AbstractBeliefPropagationCache):
         q = self.quotient_graph()
         if not is_ring_graph(q) and not is_line_graph(q):
             raise ValueError(
-                "Upon partitioning, graph does not form a line or ring: can't run boundary MPS"
+                "boundary MPS needs the partition quotient graph to be a path or "
+                "a cycle; this partitioning produces neither"
             )
         for qv in self.quotient_vertices():
             if not is_line_graph(self.partition_graph(qv)):
                 raise ValueError(
-                    "There's a partition that does not form a line: can't run boundary MPS"
+                    f"boundary MPS needs every partition to be a path; partition "
+                    f"{qv!r} is not"
                 )
 
     def copy(self) -> "BoundaryMPSCache":

@@ -188,7 +188,10 @@ def _greedy_sequence(tensors: Sequence[Tensor]):
 def _index_adjacency(tensors: Sequence[Tensor]):
     """Index-interaction graph: indices adjacent iff they share a tensor."""
     sets = _index_sets(tensors)
-    verts: list = sorted({i for s in sets for i in s}, key=id)
+    # sort by the index's own (counter id, prime level) — stable across
+    # processes, unlike builtin id() memory addresses, so treewidth plans
+    # are reproducible run to run
+    verts: list = sorted({i for s in sets for i in s}, key=lambda i: (i.id, i.plev))
     pos = {v: p for p, v in enumerate(verts)}
     adj = [set() for _ in verts]
     for s in sets:
@@ -304,9 +307,18 @@ def _elim_to_tree(tensors: Sequence[Tensor], verts, order):
         nonlocal next_id
         keys = list(keys)
         acc_s, acc_t = live.pop(keys[0])
+        union = set(acc_s)
         for k2 in keys[1:]:
             s2, t2 = live.pop(k2)
-            acc_s, acc_t = acc_s ^ s2, [acc_t, t2]
+            union |= s2
+            acc_t = [acc_t, t2]
+        # surviving indices: the union minus those no longer held by any
+        # other live tensor (symmetric difference is wrong for indices
+        # shared by 3+ tensors or shared with a tensor outside the merge)
+        outside = set()
+        for s, _ in live.values():
+            outside |= s & union
+        acc_s = outside
         live[next_id] = (acc_s, acc_t)
         next_id += 1
 

@@ -103,8 +103,23 @@ def _solve(
             converged = True
             break
 
-    if not converged and n <= 4096:
-        return dense_solve()
+    if not converged:
+        if n <= 4096:
+            return dense_solve()
+        # too large for the dense fallback: surface stagnation instead of
+        # silently returning a degraded iterate (near-singular BP
+        # environments can stall BiCGSTAB)
+        resid = np.linalg.norm(b_arr - apply_M(x)) / bnorm
+        if resid > max(100.0 * tol, 1e-3):
+            import warnings
+
+            warnings.warn(
+                f"full update: BiCGSTAB stagnated at relative residual "
+                f"{resid:.2e} (n={n}, tol={tol:.1e}); the updated tensor may "
+                "be degraded — consider raising nfullupdatesweeps or maxiter",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return Tensor(x.reshape(dims), inds)
 
 

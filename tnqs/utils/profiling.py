@@ -27,13 +27,26 @@ def trace(log_dir: str | None):
     import jax
 
     os.makedirs(log_dir, exist_ok=True)
+    # Only the profiler ENTRY is guarded: an exception raised by the user's
+    # code inside the region must propagate unchanged (a blanket try around
+    # the yield would make this generator yield twice and contextlib would
+    # replace the real exception with "generator didn't stop after throw()").
+    ctx = jax.profiler.trace(log_dir)
     try:
-        with jax.profiler.trace(log_dir):
-            yield
+        ctx.__enter__()
+        armed = True
     except Exception:
         # profiling must never take down the run (tunneled backends can
         # reject device tracing); fall through un-traced
+        armed = False
+    try:
         yield
+    finally:
+        if armed:
+            try:
+                ctx.__exit__(None, None, None)
+            except Exception:
+                pass
 
 
 def trace_from_env(var: str = "TNQS_PROFILE"):
