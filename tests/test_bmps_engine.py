@@ -163,3 +163,168 @@ def test_heavyhex_matches_flex_boundarymps():
     z = be.expect_1site("Z")
     errs = [abs(z[v].real - complex(f).real) for v, f in zip(g.vertices(), flex)]
     assert max(errs) < 2e-3
+
+
+def test_zip_chunking_is_exact():
+    """Sketch-axis chunking (the rank >= 64 at chi = 64 memory enabler) must
+    not change values: forcing a tiny chunk budget reproduces the unchunked
+    sweep bit-for-bit (same sketch, same algebra)."""
+    import tnqs.bmps_engine as BE
+
+    g = tnqs.named_grid((3, 3))
+    psi = tnqs.random_tensornetworkstate(
+        g, "S=1/2", bond_dimension=3, rng=np.random.default_rng(3), dtype=np.complex64
+    )
+    eng = LatticeEngine(psi, chi=3)
+    z_ref = BMPSEngine(eng, rank=4, oversample=2).expect_1site("Z")
+    old = BE._EINSUM_BUDGET
+    try:
+        BE._EINSUM_BUDGET = 64  # force chunk size ~1
+        z_chunked = BMPSEngine(eng, rank=4, oversample=2).expect_1site("Z")
+    finally:
+        BE._EINSUM_BUDGET = old
+    for v in g.vertices():
+        # same sketch, same algebra; chunked einsums may pick different
+        # contraction paths, so agreement is at f32 reassociation level
+        assert abs(z_ref[v] - z_chunked[v]) < 1e-3
+
+
+def test_oversampled_sketch_tracks_exact_svd():
+    """The oversampled randomized truncation must land near the optimal
+    rank-k factorization (the round-3 certification-noise lever), where the
+    exact-rank sketch has a visibly larger error."""
+    import jax.numpy as jnp
+
+    from tnqs.bmps_engine import _rand_trunc_factored
+
+    rng = np.random.default_rng(11)
+    m, n, k = 60, 50, 6
+    # smoothly decaying spectrum (boundary-MPS-like)
+    U, _ = np.linalg.qr(rng.standard_normal((m, m)))
+    V, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    s = 0.7 ** np.arange(n)
+    A = (U[:, :n] * s) @ V.T
+    A = jnp.asarray(A.astype(np.complex64))
+    opt = float(np.sqrt(np.sum(s[k:] ** 2)))  # optimal rank-k error
+
+    def run(extra):
+        om = jnp.asarray(rng.standard_normal((n, k + extra)).astype(np.complex64))
+        Q, C, logn = _rand_trunc_factored(
+            lambda Vv: A @ Vv, lambda W: A.conj().T @ W, om, (m,), keep=k
+        )
+        Ahat = jnp.einsum("mx,nx->mn", Q, C) * jnp.exp(logn)
+        return float(jnp.linalg.norm(A - Ahat))
+
+    err_plain = run(0)
+    err_over = run(10)
+    assert err_over < 1.1 * opt  # near-optimal with oversampling
+    assert err_over <= err_plain
+
+
+def test_expect_vertex_filter_matches_full():
+    g = tnqs.named_grid((3, 3))
+    psi = tnqs.random_tensornetworkstate(
+        g, "S=1/2", bond_dimension=2, rng=np.random.default_rng(5), dtype=np.complex64
+    )
+    eng = LatticeEngine(psi, chi=2)
+    be = BMPSEngine(eng, rank=8)
+    z_all = be.expect_1site("Z")
+    z_sub = be.expect_1site("Z", vertices=[(1, 2), (3, 1)])
+    assert set(z_sub) == {(1, 2), (3, 1)}
+    for v in z_sub:
+        assert abs(z_sub[v] - z_all[v]) < 1e-6
+
+
+def test_ladder_transfer_explicit_matches_generic():
+    """The memory-aware explicit ladder orderings (chi=64 OOM fix) must
+    reproduce the generic einsum contraction exactly, for both cross-bond
+    sides and through the up-step axis swap."""
+    import jax.numpy as jnp
+
+    import tnqs.bmps_engine as BE
+
+    rng = np.random.default_rng(0)
+
+    def t(*sh):
+        return jnp.asarray(
+            (rng.standard_normal(sh) + 1j * rng.standard_normal(sh)).astype(np.complex64)
+        )
+
+    p, P, q, Q, chi, s = 3, 4, 5, 6, 7, 2
+    old = BE._EINSUM_BUDGET
+    try:
+        BE._EINSUM_BUDGET = 1  # force the explicit ordering + chunking
+        for case in ("r", "l"):
+            l = 1 if case == "r" else 8
+            r = 8 if case == "r" else 1
+            G, Ml, Mr = t(p, P, chi, chi), t(p, l, l, q), t(P, r, r, Q)
+            K, B = t(s, chi, chi, l, r), t(s, chi, chi, l, r)
+            ref = jnp.einsum(
+                "pPab,plmq,PrRQ,saAlr,sbBmR->qQAB", G, Ml, Mr, K, B, optimize=True
+            )
+            out = BE.BMPSEngine._ladder_transfer(G, Ml, Mr, K, B)
+            scale = float(jnp.max(jnp.abs(ref)))
+            assert float(jnp.max(jnp.abs(ref - out))) < 1e-5 * scale
+            # up step = down step under the chain/bond axis swap
+            D = t(q, Q, chi, chi)
+            ref_up = jnp.einsum(
+                "qQAB,plmq,PrRQ,saAlr,sbBmR->pPab", D, Ml, Mr, K, B, optimize=True
+            )
+            out_up = BE.BMPSEngine._ladder_transfer(
+                D, jnp.transpose(Ml, (3, 1, 2, 0)), jnp.transpose(Mr, (3, 1, 2, 0)),
+                jnp.transpose(K, (0, 2, 1, 3, 4)), jnp.transpose(B, (0, 2, 1, 3, 4)),
+            )
+            scale = float(jnp.max(jnp.abs(ref_up)))
+            assert float(jnp.max(jnp.abs(ref_up - out_up))) < 1e-5 * scale
+    finally:
+        BE._EINSUM_BUDGET = old
+
+
+def test_ladder_explicit_path_in_expect():
+    """End-to-end: a tiny forced budget (explicit ladder + chunked zip) on an
+    evolved heavy-hex state reproduces the default path to sketch noise."""
+    import tnqs.bmps_engine as BE
+
+    g = tnqs.heavy_hexagonal_lattice(2, 2)
+    psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+    bpc = tnqs.BeliefPropagationCache(psi)
+    layer = [("Rzz", e, 0.4) for e in g.edges()] + [
+        ("Rx", [v], 0.7) for v in g.vertices()
+    ]
+    for _ in range(2):
+        bpc, _ = tnqs.apply_gates(
+            layer, bpc, apply_kwargs=dict(cutoff=1e-12, maxdim=4, normalize_tensors=True)
+        )
+    eng = LatticeEngine(bpc.network, chi=4)
+    z_ref = BMPSEngine(eng, rank=16).expect_1site("Z")
+    old = BE._EINSUM_BUDGET
+    try:
+        BE._EINSUM_BUDGET = 256
+        z_exp = BMPSEngine(eng, rank=16).expect_1site("Z")
+    finally:
+        BE._EINSUM_BUDGET = old
+    for v in g.vertices():
+        assert abs(z_ref[v] - z_exp[v]) < 2e-3
+
+
+def test_expect_2site_matches_exact():
+    """Compiled intra-column two-point functions (path_contract analog)
+    against exact contraction on an entangled grid state."""
+    g, st = _entangled_grid_state()
+    eng = LatticeEngine(st, chi=4)
+    be = BMPSEngine(eng, rank=10)
+    zz = be.expect_2site("Z", "Z")
+    assert len(zz) > 0
+    for (v1, v2), val in zz.items():
+        want = complex(
+            tnqs.expect(st, ("ZZ", [v1, v2]), alg="exact")
+        )
+        assert abs(val.real - want.real) < 3e-3
+    # non-adjacent same-column pair
+    cp = be.cplan
+    col = cp.columns[0]
+    far = be.expect_2site("Z", "X", pairs=[(col[0], col[-1])])
+    want = complex(tnqs.expect(st, (("Z", "X"), [col[0], col[-1]]), alg="exact"))
+    assert abs(list(far.values())[0].real - want.real) < 3e-3
+    with pytest.raises(ValueError, match="spans columns"):
+        be.expect_2site("Z", "Z", pairs=[(cp.columns[0][0], cp.columns[1][0])])

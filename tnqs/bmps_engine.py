@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
+import os
 
 import numpy as np
 
@@ -43,6 +44,7 @@ import jax
 import jax.numpy as jnp
 
 from .engine import LatticeEngine
+from .utils.einsum_cache import ceinsum
 
 Array = jax.Array
 
@@ -118,6 +120,42 @@ class ColumnPlan:
 # ----------------------------------------------------------------------
 
 
+# Peak elements allowed in one x-coupled zip-sweep intermediate (2^26
+# elements = 512 MB at complex64); sketch axes are chunked to stay under
+# it.  Headroom matters: XLA keeps several temps live across the unrolled
+# sweep and pads f32 tiles up to 2x, so ~1/30 of HBM per intermediate is
+# the safe ceiling (a 2^28 budget OOMed the chi=64 rank-16 expect).
+_EINSUM_BUDGET = int(float(os.environ.get("TNQS_BMPS_BUDGET", 2**26)))
+
+
+def _chunk_last(f, V: Array, chunk: int) -> Array:
+    """Apply `f` to slices of V's last axis and concatenate — bounds the
+    peak size of sketch-coupled einsum intermediates.
+
+    Few chunks unroll (XLA can overlap them); many chunks run under
+    `lax.map` with the sketch axis padded to a multiple of the chunk (zero
+    sketch columns produce zero outputs, sliced off after) — the body
+    compiles ONCE, keeping the program small enough for the remote-compile
+    transport (an unrolled rank-24 chi-64 sweep exceeded its request-size
+    limit)."""
+    x = V.shape[-1]
+    if x <= chunk:
+        return f(V)
+    n = -(-x // chunk)
+    if n <= 3:
+        parts = [f(V[..., i : min(i + chunk, x)]) for i in range(0, x, chunk)]
+        return jnp.concatenate(parts, axis=-1)
+    pad = n * chunk - x
+    Vp = jnp.pad(V, [(0, 0)] * (V.ndim - 1) + [(0, pad)])
+    Vc = jnp.moveaxis(
+        Vp.reshape(Vp.shape[:-1] + (n, chunk)), -2, 0
+    )  # [n, ..., chunk]
+    out = jax.lax.map(f, Vc)  # [n, ..out.., chunk]
+    out = jnp.moveaxis(out, 0, -2)
+    out = out.reshape(out.shape[:-2] + (n * chunk,))
+    return out[..., :x]
+
+
 def _orth(Y: Array) -> Array:
     """Exact column orthonormalization via the tiny [x, x] Gram eigh
     (Q = Y G^{-1/2}): the sketch width x is <= rank+pad, so the eigh is
@@ -133,13 +171,20 @@ def _orth(Y: Array) -> Array:
     return Y @ (U * inv[None, :].astype(U.dtype)) @ U.conj().T
 
 
-def _rand_trunc_factored(apply_A, apply_Ah, omega: Array, m_shape):
-    """Randomized rank-x factorization A ~= Q C WITHOUT materializing A.
+def _rand_trunc_factored(apply_A, apply_Ah, omega: Array, m_shape, keep: int | None = None):
+    """Randomized rank factorization A ~= Q C WITHOUT materializing A.
 
     `apply_A(V)` contracts A's factor list against V [..cols.., x] and
     `apply_Ah(W)` against W [..rows.., x]; A itself (the emit-vertex
     6-index tensor, up to tens of GB at chi=64) never exists.  One power
     iteration then exact whitening through the tiny [x, x] Gram eigh.
+
+    With `keep` < x the sketch is OVERSAMPLED: the x-wide subspace is
+    truncated to its best `keep`-dimensional part via the small [x, x]
+    eigendecomposition of C^H C (the right-singular projector of C), i.e.
+    randomized SVD with oversampling — at matched output rank this tracks
+    the exact SVD zip-up far more closely than an exact-rank sketch
+    (Halko/Martinsson/Tropp; the certification-noise lever of round 3).
 
     Returns (Q, C / ||C||, log ||C||): the dropped norm is reported so
     callers needing absolute scales (the sampler's p/q certificates) can
@@ -149,6 +194,14 @@ def _rand_trunc_factored(apply_A, apply_Ah, omega: Array, m_shape):
     x = Y.shape[-1]
     Q = _orth(Y.reshape(-1, x)).reshape(*m_shape, x)
     C = jnp.conj(apply_Ah(Q))  # (A^H Q)^* = (Q^H A)^T, cols-major [..cols.., x]
+    if keep is not None and keep < x:
+        cols_shape = C.shape[:-1]
+        Cm = C.reshape(-1, x)
+        H = Cm.conj().T @ Cm
+        _, U = jnp.linalg.eigh(H)  # ascending eigenvalues
+        Uk = U[:, -keep:][:, ::-1]  # top-`keep` right-singular directions
+        Q = jnp.einsum("...x,xk->...k", Q, jnp.conj(Uk))
+        C = (Cm @ Uk).reshape(*cols_shape, keep)
     c_n = jnp.sqrt(jnp.sum(jnp.abs(C) ** 2)) + 1e-30
     return Q, C / c_n, jnp.log(jnp.real(c_n))
 
@@ -166,13 +219,27 @@ class BMPSEngine:
     vertex.  `rank` is the MPS bond dimension (the accuracy knob,
     reference `mps_bond_dimension`)."""
 
-    def __init__(self, engine: LatticeEngine, rank: int, column_of=None, row_of=None, seed: int = 7):
+    def __init__(self, engine: LatticeEngine, rank: int, column_of=None, row_of=None, seed: int = 7, oversample: int = 8):
         self.engine = engine
         self.rank = int(rank)
+        # sketch width = rank + oversample; the subspace is truncated back
+        # to `rank` through the small C^H C eigh (randomized SVD with
+        # oversampling).  0 disables (round-2 behavior).
+        self.oversample = int(oversample)
         self.cplan = ColumnPlan.build(engine.plan, column_of, row_of)
-        rng = np.random.default_rng(seed)
-        self._rng = rng
-        self._expect_fn = None
+        # sketches are seeded per (column, direction, vertex) so every
+        # compiled program sees the same draws regardless of build order
+        # (a stateful rng here made vertex-filtered expectations disagree
+        # with full ones by the sketch-to-sketch truncation scatter)
+        self._seed = int(seed)
+        # Created EAGERLY: a lazily-created key inside a jit trace would be
+        # staged into a tracer and escape via the cache.
+        self._key = jax.random.PRNGKey(self._seed)
+        self._expect_cache: dict = {}
+
+    def _sketch_key(self):
+        """Base PRNG key for the on-device sketch draws."""
+        return self._key
 
     # -- per-vertex access ------------------------------------------------
     def _vertex_tensor(self, T: dict, v):
@@ -205,7 +272,7 @@ class BMPSEngine:
 
     # -- zip-up sweeps ----------------------------------------------------
     def _zip_column(self, T: dict, c: int, incoming: list, direction: int,
-                    rank: int | None = None, K_of=None):
+                    rank: int | None = None, K_of=None, budget: int | None = None):
         """Zip the incoming boundary MPS through column c.
 
         direction=+1: left-to-right (emit on 'r' bonds, consume on 'l');
@@ -214,8 +281,12 @@ class BMPSEngine:
         order, plus the accumulated log of every norm factor dropped during
         the sweep (tensors stay O(1); absolute scales recover as
         ``exp(logscale)``).  `K_of(v)` overrides the vertex tensor lookup
-        (the sampler passes site-projected tensors)."""
+        (the sampler passes site-projected tensors).  `budget` overrides
+        the intermediate-size budget (the vmapped sampler divides it by the
+        sample batch)."""
         rank = self.rank if rank is None else int(rank)
+        if budget is None:
+            budget = _EINSUM_BUDGET
         cp = self.cplan
         col = cp.columns[c]
         if direction > 0:
@@ -258,26 +329,46 @@ class BMPSEngine:
                 M_ = q * rk * rb
                 N_ = P * Ak * Bb
                 x = min(rank, M_, N_)
-                omega = jax.lax.complex(
-                    jnp.asarray(self._rng.standard_normal((P, Ak, Bb, x)).astype(np.float32)),
-                    jnp.asarray(self._rng.standard_normal((P, Ak, Bb, x)).astype(np.float32)),
-                ).astype(dt)
+                # Oversampled sketch, truncated back to x after whitening.
+                # Drawn ON DEVICE from a per-(column, direction, vertex)
+                # fold of the sketch key: host-side draws would embed
+                # multi-MB constant literals per emit vertex into the HLO
+                # (a rank-24 chi-64 sweep exceeded the remote-compile
+                # request-size limit that way), and the deterministic fold
+                # keeps every compiled program's draws identical
+                # regardless of build order.
+                xs = min(x + self.oversample, M_, N_)
+                code = (
+                    c * 4096
+                    + (0 if direction > 0 else 2048)
+                    + cp.order_in_col[v]
+                )
+                kf = jax.random.fold_in(self._sketch_key(), code)
+                om = jax.random.normal(kf, (2, P, Ak, Bb, xs), dtype=jnp.float32)
+                omega = jax.lax.complex(om[0], om[1]).astype(dt)
+
+                # Worst x-coupled einsum intermediate per sketch column is
+                # ~2 * chi^3 * max(q, P) elements; chunk the sketch axis so
+                # peak memory stays bounded (the rank >= 64 at chi = 64
+                # enabler — everything else in the sweep is x-independent).
+                per_x = 2 * max(Ak, 1) * max(Bb, 1) * max(rk, rb, 1) * max(q, P, 1)
+                xc = max(1, int(budget // max(per_x, 1)))
 
                 def apply_A(V, C=C, Min=Min, K=K, B=B):
-                    return jnp.einsum(
-                        "qpab,plmP,saAlr,sbBmR,PABx->qrRx", C, Min, K, B, V,
-                        optimize=True,
+                    f = lambda Vc: ceinsum(
+                        "qpab,plmP,saAlr,sbBmR,PABx->qrRx", C, Min, K, B, Vc,
                     )
+                    return _chunk_last(f, V, xc)
 
                 def apply_Ah(W, C=C, Min=Min, K=K, B=B):
-                    return jnp.einsum(
+                    f = lambda Wc: ceinsum(
                         "qpab,plmP,saAlr,sbBmR,qrRx->PABx",
-                        C.conj(), Min.conj(), K.conj(), B.conj(), W,
-                        optimize=True,
+                        C.conj(), Min.conj(), K.conj(), B.conj(), Wc,
                     )
+                    return _chunk_last(f, W, xc)
 
                 Q, Cnew, logn = _rand_trunc_factored(
-                    apply_A, apply_Ah, omega, (q, rk, rb)
+                    apply_A, apply_Ah, omega, (q, rk, rb), keep=x
                 )
                 logscale = logscale + logn
                 emitted[emit_of[v]] = Q
@@ -285,9 +376,8 @@ class BMPSEngine:
                 last_emit = emit_of[v]
             else:
                 # no emission: r = R = 1; land on [q, P, A, B] directly
-                C = jnp.einsum(
+                C = ceinsum(
                     "qpab,plmP,saAl,sbBm->qPAB", C, Min, K[..., 0], B[..., 0],
-                    optimize=True,
                 )
                 nrm = jnp.sqrt(jnp.sum(jnp.abs(C) ** 2)) + 1e-30
                 logscale = logscale + jnp.log(jnp.real(nrm))
@@ -303,16 +393,60 @@ class BMPSEngine:
             logscale = logscale + jnp.log(jnp.abs(C.reshape(())) + 1e-30)
         return emitted, logscale
 
-    def _ladder_expect(self, T: dict, c: int, L: list, R: list, op: Array):
-        """<op_v> for every vertex of column c given the left/right boundary
-        MPSes on its two cuts."""
+    @staticmethod
+    def _ladder_transfer(G, Ml, Mr, K, B, budget: int | None = None):
+        """out[q,Q,A,B] = G[p,P,a,b] Ml[p,l,m,q] Mr[P,r,R,Q] K[s,a,A,l,r]
+        B[s,b,B,m,R] — the per-vertex ladder step, memory-aware.
+
+        The generic `optimize=True` einsum materializes rank^2 * chi^4
+        intermediates at large chi (1 GB+ tiles at chi=64/rank=16 — the
+        round-3 OOM), so chain vertices with one cross bond take an
+        explicit pairwise order that peaks at rank^2 * chi^3 and is
+        chunked over the incoming-MPS bond.  `budget` overrides the module
+        intermediate-size budget (the vmapped sampler divides it by the
+        sample batch, which multiplies every intermediate)."""
+        if budget is None:
+            budget = _EINSUM_BUDGET
+        l_dim, r_dim = K.shape[3], K.shape[4]
+        a_dim, A_dim = K.shape[1], K.shape[2]
+        p_dim = G.shape[0]
+        one_cross = (l_dim > 1) != (r_dim > 1)
+        est = (
+            p_dim * G.shape[1] * G.shape[3] * K.shape[0] * A_dim
+            * max(l_dim, r_dim)
+        )
+        if not (one_cross and a_dim * A_dim > 1) or est <= budget // 16:
+            return ceinsum(
+                "pPab,plmq,PrRQ,saAlr,sbBmR->qQAB", G, Ml, Mr, K, B,
+            )
+        pc = max(1, int(budget // max(est // p_dim, 1)))
+        chunks = []
+        for i in range(0, p_dim, pc):
+            Gc = G[i : i + pc]
+            Mlc = Ml[i : i + pc]
+            if r_dim > 1:  # cross bond on the right; l = m = 1
+                T1 = jnp.einsum("pPab,saAr->pPbsAr", Gc, K[:, :, :, 0, :])
+                T2 = jnp.einsum("pPbsAr,PrRQ->pbsARQ", T1, Mr)
+                T3 = jnp.einsum("pbsARQ,sbBR->pAQB", T2, B[:, :, :, 0, :])
+                chunks.append(jnp.einsum("pAQB,pq->qQAB", T3, Mlc[:, 0, 0, :]))
+            else:  # cross bond on the left; r = R = 1
+                T1 = jnp.einsum("pPab,saAl->pPbsAl", Gc, K[..., 0])
+                T2 = jnp.einsum("pPbsAl,plmq->PbsAmq", T1, Mlc)
+                T3 = jnp.einsum("PbsAmq,sbBm->PAqB", T2, B[..., 0])
+                chunks.append(jnp.einsum("PAqB,PQ->qQAB", T3, Mr[:, 0, 0, :]))
+        return sum(chunks[1:], chunks[0])
+
+    def _ladder_walks(self, T: dict, c: int, L: list, R: list, dt):
+        """Shared machinery of the per-column ladder: (step_down, step_up,
+        prefixes, suffixes, denom, col).  Steps take `op=None` or a [d, d]
+        operator to insert at that vertex (the engine counterpart of the
+        reference's `path_contract`, `boundarympscache.jl:616-667`)."""
         cp = self.cplan
         col = cp.columns[c]
         lcut = cp.cross[c - 1] if c > 0 else []
         rcut = cp.cross[c] if c < len(cp.cross) else []
         l_of = {e[1]: i for i, e in enumerate(lcut)}
         r_of = {e[0]: i for i, e in enumerate(rcut)}
-        dt = op.dtype
 
         def mins(v, C_pl, C_pr):
             if v in l_of:
@@ -325,46 +459,83 @@ class BMPSEngine:
                 Mr = jnp.eye(C_pr, dtype=jnp.float32).astype(dt).reshape(C_pr, 1, 1, C_pr)
             return Ml, Mr
 
-        def step_down(G, v, with_op):
+        def step_down(G, v, op=None):
             K = self._vertex_tensor(T, v)
             B = jnp.conj(K)
-            if with_op:
+            if op is not None:
                 K = jnp.einsum("ts,saDlr->taDlr", op.astype(dt), K)
             Ml, Mr = mins(v, G.shape[0], G.shape[1])
             # G[p,P,a,b] Ml[p,l,m,p2] Mr[P,r,R,P2] K[s,a,A,l,r] B[s,b,B,m,R]
-            return jnp.einsum(
-                "pPab,plmq,PrRQ,saAlr,sbBmR->qQAB", G, Ml, Mr, K, B, optimize=True
-            )
+            return self._ladder_transfer(G, Ml, Mr, K, B)
 
-        def step_up(G, v, with_op):
-            # mirrored walk: G holds environments from BELOW [p,P,A,B]
+        def step_up(G, v, op=None):
+            # mirrored walk: G holds environments from BELOW [q,Q,A,B].
+            # The up step equals the down step under (p <-> q, P <-> Q,
+            # a <-> A, b <-> B): swap the chain axes of the MPS messages
+            # and the up/down bond axes of ket and bra.
             K = self._vertex_tensor(T, v)
             B = jnp.conj(K)
-            if with_op:
+            if op is not None:
                 K = jnp.einsum("ts,saAlr->taAlr", op.astype(dt), K)
             Ml, Mr = mins(v, G.shape[0], G.shape[1])
-            # chains run downward: q -> p through Ml means Ml[p_above, l, m, p_below]
-            return jnp.einsum(
-                "qQAB,plmq,PrRQ,saAlr,sbBmR->pPab", G, Ml, Mr, K, B, optimize=True
+            return self._ladder_transfer(
+                G,
+                jnp.transpose(Ml, (3, 1, 2, 0)),
+                jnp.transpose(Mr, (3, 1, 2, 0)),
+                jnp.transpose(K, (0, 2, 1, 3, 4)),
+                jnp.transpose(B, (0, 2, 1, 3, 4)),
             )
 
         one = jnp.ones((1, 1, 1, 1), dtype=jnp.float32).astype(dt)
         prefixes = [one]
         for v in col:
-            prefixes.append(step_down(prefixes[-1], v, False))
+            prefixes.append(step_down(prefixes[-1], v))
         suffixes = [one] * (len(col) + 1)
         for i in range(len(col) - 1, -1, -1):
-            suffixes[i] = step_up(suffixes[i + 1], col[i], False)
+            suffixes[i] = step_up(suffixes[i + 1], col[i])
         denom = jnp.einsum("pPab,pPab->", prefixes[-1], suffixes[len(col)])
+        return step_down, step_up, prefixes, suffixes, denom, col
+
+    def _ladder_expect(self, T: dict, c: int, L: list, R: list, op: Array):
+        """<op_v> for every vertex of column c given the left/right boundary
+        MPSes on its two cuts."""
+        step_down, _, prefixes, suffixes, denom, col = self._ladder_walks(
+            T, c, L, R, op.dtype
+        )
         out = {}
         for i, v in enumerate(col):
-            g = step_down(prefixes[i], v, True)
+            g = step_down(prefixes[i], v, op)
             numer = jnp.einsum("qQAB,qQAB->", g, suffixes[i + 1])
             out[v] = numer / denom
         return out
 
+    def _ladder_expect_pairs(self, T: dict, c: int, L: list, R: list,
+                             op1: Array, op2: Array, pairs: list):
+        """<op1_v1 op2_v2> for vertex pairs within column c (any separation
+        along the column, adjacent or not): one operator-inserted walk per
+        pair between the shared prefix/suffix environments."""
+        cp = self.cplan
+        step_down, _, prefixes, suffixes, denom, col = self._ladder_walks(
+            T, c, L, R, op1.dtype
+        )
+        out = {}
+        for (v1, v2) in pairs:
+            i, j = cp.order_in_col[v1], cp.order_in_col[v2]
+            if i > j:
+                (v1, v2), (i, j) = (v2, v1), (j, i)
+                o1, o2 = op2, op1
+            else:
+                o1, o2 = op1, op2
+            g = step_down(prefixes[i], col[i], o1)
+            for t in range(i + 1, j):
+                g = step_down(g, col[t])
+            g = step_down(g, col[j], o2)
+            numer = jnp.einsum("qQAB,qQAB->", g, suffixes[j + 1])
+            out[(v1, v2)] = numer / denom
+        return out
+
     # -- public API -------------------------------------------------------
-    def _build_expect(self):
+    def _build_expect(self, columns: tuple):
         cp = self.cplan
         nC = len(cp.columns)
 
@@ -382,33 +553,123 @@ class BMPSEngine:
                 if c > 0:
                     cur, _ = self._zip_column(T, c, cur, -1)
             vals = {}
-            for c in range(nC):
+            for c in columns:
                 vals.update(self._ladder_expect(T, c, lefts[c], rights[c], op))
             keys = sorted(vals.keys())
             return keys, jnp.stack([vals[v] for v in keys])
 
         return fn
 
-    def expect_1site(self, opname: str) -> dict:
-        """Boundary-MPS expectation of a 1-site operator on every vertex —
-        the compiled counterpart of `tnqs.expect(..., alg="boundarymps")`."""
+    def expect_1site(self, opname: str, vertices=None) -> dict:
+        """Boundary-MPS expectation of a 1-site operator — the compiled
+        counterpart of `tnqs.expect(..., alg="boundarymps")`.
+
+        `vertices` restricts the result (default: every vertex).  The zip
+        sweeps always cover the whole lattice, but the per-column ladder
+        walks — the expensive part at large chi — run only for columns
+        containing a requested vertex."""
         from .sitetypes import op_matrix
         from .utils.transfer import device_get, device_put
 
         eng = self.engine
-        if self._expect_fn is None:
-            fn = self._build_expect()
+        if vertices is None:
+            columns = tuple(range(len(self.cplan.columns)))
+        else:
+            columns = tuple(sorted({self.cplan.col_of[v] for v in vertices}))
+        cache = getattr(self, "_expect_cache", None)
+        if cache is None:
+            cache = self._expect_cache = {}
+        if columns not in cache:
+            fn = self._build_expect(columns)
 
             def wrapped(T, op):
                 _, vals = fn(T, op)
                 return vals
 
             # `fn` stacks the merged per-column dicts in sorted-key order
-            self._keys = sorted(v for col in self.cplan.columns for v in col)
-            self._expect_fn = jax.jit(wrapped)
+            keys = sorted(v for c in columns for v in self.cplan.columns[c])
+            cache[columns] = (jax.jit(wrapped), keys)
+        jfn, keys = cache[columns]
         op = device_put(np.asarray(op_matrix(opname, eng.d)).astype(np.dtype(eng.dtype)))
-        vals = device_get(self._expect_fn(eng.T, op))
-        return {v: complex(vals[i]) for i, v in enumerate(self._keys)}
+        vals = device_get(jfn(eng.T, op))
+        out = {v: complex(vals[i]) for i, v in enumerate(keys)}
+        if vertices is not None:
+            out = {v: out[v] for v in vertices}
+        return out
+
+    def expect_2site(self, opname_u: str, opname_v: str, pairs=None) -> dict:
+        """Boundary-MPS two-point function <op_u(v1) op_v(v2)> for vertex
+        pairs lying in the same column (compiled counterpart of the
+        reference's `path_contract` observables, `expect.jl:84-112` /
+        `boundarympscache.jl:616-667`; pairs spanning columns need the
+        other partitioning — pass `column_of`/`row_of` to the constructor,
+        mirroring `boundarymps_partitioning`).
+
+        `pairs` defaults to every intra-column edge of the lattice.
+        Returns {(v1, v2): value}."""
+        from .sitetypes import op_matrix
+        from .utils.transfer import device_get, device_put
+
+        eng, cp = self.engine, self.cplan
+        if pairs is None:
+            pairs = [
+                (u, w)
+                for (u, w) in eng.plan.graph.edges()
+                if cp.col_of[u] == cp.col_of[w]
+            ]
+        pairs = [tuple(p) for p in pairs]
+        by_col: dict = {}
+        for (u, w) in pairs:
+            if cp.col_of[u] != cp.col_of[w]:
+                raise ValueError(
+                    f"pair {(u, w)} spans columns; expect_2site needs both "
+                    "vertices in one column (choose the other partitioning)"
+                )
+            by_col.setdefault(cp.col_of[u], []).append((u, w))
+
+        key = ("2site", tuple(sorted(by_col)), tuple(sorted(pairs)))
+        cache = self._expect_cache
+        if key not in cache:
+            nC = len(cp.columns)
+
+            def fn(T, op1, op2):
+                lefts: list = [None] * nC
+                cur: list = []
+                for c in range(nC):
+                    lefts[c] = cur
+                    if c < nC - 1:
+                        cur, _ = self._zip_column(T, c, cur, +1)
+                rights: list = [None] * nC
+                cur = []
+                for c in range(nC - 1, -1, -1):
+                    rights[c] = cur
+                    if c > 0:
+                        cur, _ = self._zip_column(T, c, cur, -1)
+                vals = {}
+                for c, col_pairs in sorted(by_col.items()):
+                    vals.update(
+                        self._ladder_expect_pairs(
+                            T, c, lefts[c], rights[c], op1, op2, col_pairs
+                        )
+                    )
+                keys = sorted(vals.keys())
+                return keys, jnp.stack([vals[k] for k in keys])
+
+            def wrapped(T, op1, op2):
+                _, vals = fn(T, op1, op2)
+                return vals
+
+            keys = sorted(
+                (v1, v2) if cp.order_in_col[v1] <= cp.order_in_col[v2] else (v2, v1)
+                for (v1, v2) in pairs
+            )
+            cache[key] = (jax.jit(wrapped), keys)
+        jfn, keys = cache[key]
+        dt = np.dtype(eng.dtype)
+        op1 = device_put(np.asarray(op_matrix(opname_u, eng.d)).astype(dt))
+        op2 = device_put(np.asarray(op_matrix(opname_v, eng.d)).astype(dt))
+        vals = device_get(jfn(eng.T, op1, op2))
+        return {k: complex(vals[i]) for i, k in enumerate(keys)}
 
 
 # ----------------------------------------------------------------------
@@ -462,7 +723,10 @@ class BMPSSampler:
         cp = bmps.cplan
         self.keys_order = [v for col in cp.columns for v in col]
         self._vidx = {v: i for i, v in enumerate(self.keys_order)}
-        self._fn = None
+        self._fns: dict = {}
+        # every per-sample intermediate is multiplied by the vmapped batch,
+        # so the memory budget is divided by it at build time
+        self._budget = _EINSUM_BUDGET
 
     # -- column helpers (all shapes static) -------------------------------
     def _eye_msg(self, p: int, dt):
@@ -480,13 +744,17 @@ class BMPSSampler:
         return Ml, Mr
 
     def _step_down(self, U, Ml, Mr, K, B):
-        return jnp.einsum(
-            "pPab,plmq,PrRQ,saAlr,sbBmR->qQAB", U, Ml, Mr, K, B, optimize=True
-        )
+        return BMPSEngine._ladder_transfer(U, Ml, Mr, K, B, budget=self._budget)
 
     def _step_up(self, D, Ml, Mr, K, B):
-        return jnp.einsum(
-            "qQAB,plmq,PrRQ,saAlr,sbBmR->pPab", D, Ml, Mr, K, B, optimize=True
+        # down step under the chain/bond axis swap (see _ladder_walks)
+        return BMPSEngine._ladder_transfer(
+            D,
+            jnp.transpose(Ml, (3, 1, 2, 0)),
+            jnp.transpose(Mr, (3, 1, 2, 0)),
+            jnp.transpose(K, (0, 2, 1, 3, 4)),
+            jnp.transpose(B, (0, 2, 1, 3, 4)),
+            budget=self._budget,
         )
 
     @staticmethod
@@ -589,11 +857,25 @@ class BMPSSampler:
         for i, v in enumerate(col):
             K = be._vertex_tensor(T, v)
             Ml, Mr = self._msgs(v, l_of, r_of, L, R, U.shape[0], U.shape[1], dt)
-            rho = jnp.einsum(
-                "pPab,plmq,PrRQ,saAlr,tbBmR,qQAB->st",
-                U, Ml, Mr, K, jnp.conj(K), D[i + 1], optimize=True,
+            # Only the conditional RDM DIAGONAL is sampled: compute it as d
+            # site-projected transfer steps closed against the below
+            # environment (memory-aware), instead of the 6-tensor rho
+            # einsum whose intermediates carry both site axes and blow up
+            # at chi=64 under the sample vmap (a 200 GB allocation).
+            diag = jnp.stack(
+                [
+                    jnp.real(
+                        jnp.sum(
+                            self._step_down(
+                                U, Ml, Mr, K[s : s + 1], jnp.conj(K[s : s + 1])
+                            )
+                            * D[i + 1]
+                        )
+                    )
+                    for s in range(K.shape[0])
+                ]
             )
-            diag = jnp.clip(jnp.real(jnp.diagonal(rho)), 0.0, None)
+            diag = jnp.clip(diag, 0.0, None)
             tr = jnp.sum(diag) + 1e-30
             if i == 0:
                 log_tr_first = (
@@ -617,10 +899,11 @@ class BMPSSampler:
         return Kp, bits, logq, log_tr_first
 
     # -- public API -------------------------------------------------------
-    def _build(self):
+    def _build(self, batch: int = 1):
         be = self.bmps
         cp = be.cplan
         nC = len(cp.columns)
+        self._budget = max(4096, _EINSUM_BUDGET // max(1, batch))
 
         def run(T, M, keys):
             dt = None
@@ -659,6 +942,7 @@ class BMPSSampler:
                         L, dlog = be._zip_column(
                             T, c, L, +1, rank=self.proj_rank,
                             K_of=lambda v, Kp=Kp: Kp[v],
+                            budget=self._budget,
                         )
                         llog = llog + dlog
                 # p/q of the full bitstring: the last column's conditionals
@@ -680,10 +964,10 @@ class BMPSSampler:
         `tnqs.sample_directly_certified`."""
         from .utils.transfer import device_get
 
-        if self._fn is None:
-            self._fn = self._build()
+        if nsamples not in self._fns:
+            self._fns[nsamples] = self._build(batch=nsamples)
         keys = jax.random.split(jax.random.PRNGKey(seed), nsamples)
-        bits, logq, poverq, n_hat = self._fn(
+        bits, logq, poverq, n_hat = self._fns[nsamples](
             self.bmps.engine.T, self.bmps.engine.M, keys
         )
         bits = np.asarray(device_get(bits))
