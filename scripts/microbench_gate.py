@@ -55,7 +55,7 @@ def timeit(name, fn, *args, iters=None, **kwargs):
     val = _probe_val(out)
     dt = (time.time() - t0) / iters
     finite = np.isfinite(val)
-    print(f"{name:55s} {dt * 1e3:9.2f} ms   {'' if finite else 'NON-FINITE!'}")
+    print(f"{name:55s} {dt * 1e3:9.2f} ms   {'' if finite else 'NON-FINITE!'}", flush=True)
     return dt
 
 
@@ -91,6 +91,13 @@ def main():
         device_put(np.asarray(cls.gates).astype(np.complex64)) for cls in grp.classes
     ]
 
+    # ---- calibration: dispatch+fetch floor and a reference matmul ----
+    small = jnp.ones((8, 128), jnp.float32)
+    timeit("calibration: trivial add (dispatch floor)", lambda x: x + 1.0, small)
+    big = jnp.ones((26, 256, 256), jnp.float32)
+    timeit("calibration: [26,256,256] f32 batched matmul",
+           lambda a: jnp.einsum("bij,bjk->bik", a, a), big)
+
     # ---- end-to-end pieces ----
     timeit("full layer step", step.jitted, T, M, step.gate_params, iters=3 if FAST else 5)
     timeit(
@@ -103,14 +110,34 @@ def main():
         lambda T, M: eng._bp_fixed_point(T, M, 25, 1e-5),
         T, M,
     )
+    timeit("bp plane conversion alone", lambda T: eng._bp_planes(T), T)
 
-    def one_two_site_group(T, M):
+    def bp_sweep_only(T, M):
+        planes = eng._bp_planes(T)
+        return eng._bp_new_messages(T, M, planes)
+
+    timeit("bp planes + ONE sweep", bp_sweep_only, T, M)
+
+    def one_two_site_group(T, M, gates_list):
         errors = jnp.zeros((len(layer),), dtype=jnp.float32)
         return eng._apply_two_site_group(
             T, M, errors, grp.classes, gates_list, 1e-12, True
         )
 
-    timeit("one two-site color group (full)", one_two_site_group, T, M)
+    timeit("one two-site color group (full)", one_two_site_group, T, M, gates_list)
+
+    def one_two_site_group_nofactor(T, M, gates_list):
+        errors = jnp.zeros((len(layer),), dtype=jnp.float32)
+        old = eng.reduce_method
+        eng.reduce_method = "gram_nofactor"
+        try:
+            return eng._apply_two_site_group(
+                T, M, errors, grp.classes, gates_list, 1e-12, True
+            )
+        finally:
+            eng.reduce_method = old
+
+    timeit("one two-site group (Q-free reduce)", one_two_site_group_nofactor, T, M, gates_list)
 
     # ---- phase breakdown at the shapes of the largest class ----
     from tnqs.engine import _cholesky_gauge_roots
@@ -153,14 +180,27 @@ def main():
         lambda A, W: eng._reduce_with(A, W, cls.ku),
         Au, Wu,
     )
+    timeit(
+        f"reduce_with v-side (k={cls.kv})",
+        lambda A, W: eng._reduce_with(A, W, cls.kv),
+        Av, Wv,
+    )
+    timeit(
+        "bp fixed point 2 iters, NO kernel planes",
+        lambda T, M: eng._bp_fixed_point(T, M, 2, 1e-5, False),
+        T, M,
+    )
     Qu, Ru = jax.jit(lambda A, W: eng._reduce_with(A, W, cls.ku))(Au, Wu)
     Qv, Rv = jax.jit(lambda A, W: eng._reduce_with(A, W, cls.kv))(Av, Wv)
     ru, rv = Ru.shape[1], Rv.shape[1]
     print(f"# Qu {Qu.shape} Ru {Ru.shape}")
 
-    if cls.ku == 3:
+    # tall-side factorization pieces at the (k=3) benchmark shape: use the
+    # v-side of the largest class when that is the degree-3 one
+    A3 = Av if cls.kv == 3 else (Au if cls.ku == 3 else None)
+    if A3 is not None:
         X = jnp.reshape(
-            jnp.transpose(Au, (0, 2, 3, 1, 4)), (Bn, chi * chi, d * chi)
+            jnp.transpose(A3, (0, 2, 3, 1, 4)), (Bn, chi * chi, d * chi)
         )
         timeit("  cholesky_qr alone [B, chi^2, d*chi]", cholesky_qr, X)
         G = jnp.einsum("bji,bjk->bik", jnp.conj(X), X)
@@ -181,17 +221,18 @@ def main():
             L, eyeb,
         )
 
-    def theta_and_gram(Ru, Rv):
+    def theta_and_gram(Ru, Rv, gate):
         Ru4 = Ru.reshape(Bn, ru, d, chi)
         Rv4 = Rv.reshape(Bn, rv, d, chi)
         theta = jnp.einsum("Bxda,Byea->Bxdye", Ru4, Rv4)
-        theta = jnp.einsum("Bxdye,Bpqde->Bxpyq", theta, gates_list[grp.classes.index(cls)].astype(M.dtype))
+        theta = jnp.einsum("Bxdye,Bpqde->Bxpyq", theta, gate.astype(M.dtype))
         tm = theta.reshape(Bn, ru * d, rv * d)
         G = jnp.einsum("bik,bjk->bij", tm, jnp.conj(tm))
         return tm, G
 
-    timeit("theta contraction + gram", theta_and_gram, Ru, Rv)
-    tm, Gtheta = jax.jit(theta_and_gram)(Ru, Rv)
+    cls_gate = gates_list[grp.classes.index(cls)]
+    timeit("theta contraction + gram", theta_and_gram, Ru, Rv, cls_gate)
+    tm, Gtheta = jax.jit(theta_and_gram)(Ru, Rv, cls_gate)
     print(f"# theta {tm.shape} gram {Gtheta.shape}")
 
     timeit("subspace_eigh(chi) of theta gram", lambda G: subspace_eigh(chi)(G), Gtheta)
@@ -201,7 +242,8 @@ def main():
 
     w, V, tail = jax.jit(lambda G: subspace_eigh(chi)(G))(Gtheta)
     s = jnp.sqrt(jnp.clip(jnp.real(w[..., ::-1]), 0, None))
-    Rn = jnp.zeros((Bn, ru, d * chi), dtype=M.dtype)
+    # complex literals can't be created directly on tunneled backends
+    Rn = jnp.zeros((Bn, ru, d * chi), dtype=jnp.float32).astype(M.dtype)
 
     timeit(
         "unreduce u-side (Q @ R_new + ungauge)",

@@ -214,3 +214,35 @@ def test_evolve_ladder_matches_direct():
     zb = eng_b.expect_1site("Z")
     dz = max(abs(za[v] - zb[v]) for v in za)
     assert dz < 5e-5, dz
+
+
+def test_layers_per_call_matches_sequential():
+    """make_step(layers_per_call=N) (one dispatch, fori_loop body) must
+    reproduce N sequential single-layer calls exactly."""
+    import jax.numpy as jnp
+
+    import tnqs
+    from tnqs.engine import LatticeEngine
+    from tnqs.models import tfim_layer
+
+    g = tnqs.named_grid((3, 3))
+    psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+    layer = tfim_layer(g, J=0.5, hx=1.0, dt=0.3)
+    eng1 = LatticeEngine(psi, chi=4, dtype=jnp.complex64)
+    step1 = eng1.make_step(layer, cutoff=1e-10, bp_maxiter=8)
+    T, M = eng1.T, eng1.M
+    errs = []
+    for _ in range(3):
+        T, M, e = step1(T, M)
+        errs.append(np.asarray(e))
+    eng2 = LatticeEngine(psi, chi=4, dtype=jnp.complex64)
+    step3 = eng2.make_step(layer, cutoff=1e-10, bp_maxiter=8, layers_per_call=3)
+    T3, M3, e3 = step3(eng2.T, eng2.M)
+    e3 = np.asarray(e3)
+    assert e3.shape == (3, len(layer))
+    np.testing.assert_allclose(e3, np.stack(errs), rtol=0, atol=1e-6)
+    for k in T:
+        np.testing.assert_allclose(
+            np.asarray(T3[k]), np.asarray(T[k]), rtol=0, atol=1e-6
+        )
+    np.testing.assert_allclose(np.asarray(M3), np.asarray(M), rtol=0, atol=1e-6)

@@ -607,6 +607,16 @@ class LatticeEngine:
         # (`/root/reference/src/utils.jl:18-26`), kept on the direct path
         # and for the f64 golden trajectories.
         self.env_gauge = "cholesky" if self.factor_method == "gram" else "eigh"
+        # Tall-side reduction on the gram path: "cholqr2" = explicit
+        # shifted CholeskyQR2 (two [B, R_env, n] triangular solves per
+        # side); "gram_nofactor" = Q-free Gram-space R factor with
+        # X @ (R^{-1} R_new) recombination (`gram_rfactor`) — fewer large
+        # ops but its Gram-space second round is f32-unstable on
+        # near-null directions (lambda ~ shift amplifies rounding by
+        # 1/shift), so it is experimental/opt-in.
+        import os as _os
+
+        self.reduce_method = _os.environ.get("TNQS_REDUCE", "cholqr2")
         # Truncation eigensolver for the gram path's theta Gram matrices:
         # "subspace" = randomized subspace iteration to the top chi+8
         # pairs (MXU matmuls + one small Rayleigh-Ritz solve; the full
@@ -797,8 +807,17 @@ class LatticeEngine:
         self.M = self._bp_fixed_point(self.T, self.M, maxiter, tolerance)
         return self
 
-    @partial(jax.jit, static_argnums=(0, 3))
-    def _bp_fixed_point(self, T: dict, M: Array, maxiter: int, tolerance: float) -> Array:
+    @partial(jax.jit, static_argnums=(0, 3, 5))
+    def _bp_fixed_point(self, T: dict, M: Array, maxiter: int, tolerance: float, use_kernel: bool = True) -> Array:
+        """`use_kernel=False` skips the fused-Pallas path: the kernel needs
+        pre-permuted real/imag plane copies of every site tensor (~19 ms of
+        strided HBM transposes at the benchmark shapes) that only amortize
+        over many sweep iterations.  In-step refreshes run 2-3 iterations
+        from a near-fixed point, where the XLA einsum sweep (~6.5 ms/iter,
+        no conversion) is strictly faster — measured in
+        `scripts/microbench_gate.py`; the step compiles with kernel-free
+        refreshes (`make_step`) while standalone convergence
+        (:meth:`bp_update`) keeps the kernel."""
         def diff(Ma, Mb):
             na = jnp.linalg.norm(Ma.reshape(Ma.shape[0], -1), axis=1)
             nb = jnp.linalg.norm(Mb.reshape(Mb.shape[0], -1), axis=1)
@@ -807,7 +826,7 @@ class LatticeEngine:
             f = jnp.abs(dot / denom) ** 2
             return jnp.mean(1.0 - f)
 
-        planes = self._bp_planes(T)
+        planes = self._bp_planes(T) if use_kernel else None
 
         def cond(carry):
             M_cur, it, eps = carry
@@ -865,18 +884,11 @@ class LatticeEngine:
 
     def _reduce_with(self, A: Array, W: Array, k: int):
         """QR-reduce one gauged side given precomputed env sqrts."""
-        B = A.shape[0]
-        chi, d = self.chi, self.d
-        for j in range(k - 1):
-            A = _absorb_message(A, W[:, j], axis=2 + j)
-        # [B, d, e1..e_{k-1}, a] -> [B, e..., d, a] -> [B, R, d*a]
-        perm = (0,) + tuple(range(2, k + 1)) + (1, k + 1)
-        A = jnp.transpose(A, perm)
-        R_env = chi ** (k - 1)
-        A = A.reshape(B, R_env, d * chi)
-        if R_env <= d * chi:
+        A = self._gauged_matrix(A, W, k)
+        R_env, n = A.shape[1], A.shape[2]
+        if R_env <= n:
             # wide case: QR reduces nothing (r = R_env already); skip it
-            Q = jnp.broadcast_to(jnp.eye(R_env, dtype=A.dtype), (B, R_env, R_env))
+            Q = jnp.broadcast_to(jnp.eye(R_env, dtype=A.dtype), (A.shape[0], R_env, R_env))
             Rfac = A
         elif self.factor_method == "gram":
             from .ops.factorizations import cholesky_qr
@@ -886,13 +898,29 @@ class LatticeEngine:
             Q, Rfac = jnp.linalg.qr(A)
         return Q, Rfac
 
+    def _gauged_matrix(self, A: Array, W: Array, k: int) -> Array:
+        """Absorb the env gauge roots and matricize: [B, d, chi x (k-1),
+        chi_active] -> [B, R_env, d*chi] with R_env = chi^(k-1)."""
+        B = A.shape[0]
+        chi, d = self.chi, self.d
+        for j in range(k - 1):
+            A = _absorb_message(A, W[:, j], axis=2 + j)
+        # [B, d, e1..e_{k-1}, a] -> [B, e..., d, a] -> [B, R, d*a]
+        perm = (0,) + tuple(range(2, k + 1)) + (1, k + 1)
+        A = jnp.transpose(A, perm)
+        return A.reshape(B, chi ** (k - 1), d * chi)
+
     def _unreduce(self, Q: Array, R_new: Array, Winv: Array, k: int):
         """Recombine Q [B, R_env, r] with R_new [B, r, d*chi], un-gauge, and
         restore the [B, d, chi x (k-1), chi_active] layout."""
-        B = Q.shape[0]
+        return self._restore(jnp.einsum("BRr,Brx->BRx", Q, R_new), Winv, k)
+
+    def _restore(self, Aflat: Array, Winv: Array, k: int):
+        """Un-gauge a recombined flat side [B, R_env, d*chi] and restore the
+        [B, d, chi x (k-1), chi_active] layout."""
+        B = Aflat.shape[0]
         chi, d = self.chi, self.d
-        A = jnp.einsum("BRr,Brx->BRx", Q, R_new)
-        A = A.reshape((B,) + (chi,) * (k - 1) + (d, chi))
+        A = Aflat.reshape((B,) + (chi,) * (k - 1) + (d, chi))
         perm = (0, k) + tuple(range(1, k)) + (k + 1,)
         A = jnp.transpose(A, perm)  # [B, d, e..., a]
         for j in range(k - 1):
@@ -929,8 +957,10 @@ class LatticeEngine:
             U, s, Vh = gram_svd(theta_mat)
         else:
             U, s, Vh = _svd_fallback(theta_mat)
+        recomb_u = lambda Rn: jnp.einsum("BRr,Brx->BRx", Qu, Rn)
+        recomb_v = lambda Rn: jnp.einsum("BRr,Brx->BRx", Qv, Rn)
         return self._finish_two_site(
-            T, M, errors, cls, U, s, Vh, Qu, Qv, Winv_u, Winv_v, ru, rv, Bn,
+            T, M, errors, cls, U, s, Vh, recomb_u, recomb_v, Winv_u, Winv_v, ru, rv, Bn,
             cutoff, normalize,
         )
 
@@ -984,9 +1014,21 @@ class LatticeEngine:
                     E_all, self.sqrt_cutoff, eigh_fn=default_eigh(chi)
                 )
 
-        # phase 2: per class, gauge + reduce + theta + Gram matrix
-        mids = []
-        gram_bank: dict = {}  # n -> list of (index into mids, G)
+        # phase 2: per class, gauge + matricize both sides.  Tall sides
+        # (R_env = chi^(k-1) > d*chi) take the Q-FREE reduction: their R
+        # factor comes from the Gram matrix alone (`gram_rfactor`, banked
+        # across classes/sides into ONE Cholesky chain), theta is built
+        # from R, and phase 4 recombines as X @ (R^{-1} R_new) — the only
+        # [B, R_env, d*chi]-sized operations left are one Gram matmul and
+        # one recombination matmul per side (explicit CholeskyQR2 paid two
+        # extra R_env-sized triangular solves and a second R_env-sized
+        # Gram per side).  Wide sides (degree-2 vertices) need no
+        # reduction at all: R = X.
+        from .ops.factorizations import apply_rinv, cholesky_qr, gram_rfactor
+
+        n_red = d * chi
+        sides = []  # per class: (cls, side_u, side_v, Winv_u, Winv_v, Bn)
+        x_bank = []  # (key, Gram) of Q-free tall sides, all [B_i, n, n]
         for ci, (cls, Au, Av, Bn, sl) in enumerate(gathered):
             def env_w(slot, k):
                 if slot is None:
@@ -1002,14 +1044,70 @@ class LatticeEngine:
 
             Wu, Winv_u = env_w(sl[0], cls.ku)
             Wv, Winv_v = env_w(sl[1], cls.kv)
-            Qu, Ru = self._reduce_with(Au, Wu, cls.ku)
-            Qv, Rv = self._reduce_with(Av, Wv, cls.kv)
+            Xu = self._gauged_matrix(Au, Wu, cls.ku)
+            Xv = self._gauged_matrix(Av, Wv, cls.kv)
+
+            def make_side(X):
+                if X.shape[1] <= n_red:
+                    # wide: R = X, recombination is the identity
+                    return ("wide", X)
+                if self.reduce_method == "gram_nofactor":
+                    # Gram is [B, n, n] regardless of R_env, so all tall
+                    # sides bank into ONE small Cholesky chain; R and the
+                    # recombination solves are filled in after the bank
+                    x_bank.append((id(X), jnp.einsum("bji,bjk->bik", jnp.conj(X), X)))
+                    return ("bank", X)
+                Q, R = cholesky_qr(X)
+                return ("q", (Q, R))
+
+            sides.append((cls, make_side(Xu), make_side(Xv), Winv_u, Winv_v, Bn))
+
+        rfac_of: dict = {}  # id(X) -> (R, L1, L2)
+        if x_bank:
+            G_all = jnp.concatenate([G for (_, G) in x_bank], axis=0)
+            R_all, L1_all, L2_all = gram_rfactor(G_all)
+            ofs = 0
+            for key, G in x_bank:
+                b = G.shape[0]
+                rfac_of[key] = (
+                    R_all[ofs : ofs + b],
+                    L1_all[ofs : ofs + b],
+                    L2_all[ofs : ofs + b],
+                )
+                ofs += b
+
+        def resolve(side):
+            """-> (R [B, r, n], recomb: R_new [B, r, n] -> Aflat [B, R_env, n])."""
+            kind, data = side
+            if kind == "wide":
+                return data, lambda Rn: Rn
+            if kind == "q":
+                Q, R = data
+                return R, lambda Rn, Q=Q: jnp.einsum("BRr,Brx->BRx", Q, Rn)
+            X = data
+            R, L1, L2 = rfac_of[id(X)]
+            return R, lambda Rn, X=X, L1=L1, L2=L2: jnp.einsum(
+                "BRn,Bnx->BRx", X, apply_rinv(L1, L2, Rn)
+            )
+
+        mids = []
+        gram_bank: dict = {}  # n -> list of (index into mids, G)
+        for ci, (cls, side_u, side_v, Winv_u, Winv_v, Bn) in enumerate(sides):
+            Ru, recomb_u = resolve(side_u)
+            Rv, recomb_v = resolve(side_v)
             ru, rv = Ru.shape[1], Rv.shape[1]
-            Ru = Ru.reshape(Bn, ru, d, chi)
-            Rv = Rv.reshape(Bn, rv, d, chi)
-            theta = jnp.einsum("Bxda,Byea->Bxdye", Ru, Rv)
-            theta = jnp.einsum("Bxdye,Bpqde->Bxpyq", theta, gates_list[ci].astype(M.dtype))
-            theta_mat = theta.reshape(Bn, ru * d, rv * d)
+            # theta[(x p), (y q)] = gate[p,q,d,e] Ru[x,(d a)] Rv[y,(e a)]:
+            # fold the (tiny) gate into Rv first, then ONE MXU-shaped
+            # matmul contracting (d, a) — [B, ru, d*chi] x
+            # [B, d*chi, d*rv*d].  The naive chain (theta via two einsums
+            # with d=2 mid-axes) is layout-hostile on TPU (~16 ms per
+            # group at the benchmark shapes, the largest single piece of
+            # the two-site update — `scripts/microbench_gate.py`).
+            gate4 = gates_list[ci].astype(M.dtype)  # [B, p, q, d, e]
+            Rv5 = jnp.einsum("Bpqde,Byea->Bdapyq", gate4, Rv.reshape(Bn, rv, d, chi))
+            Rv5 = Rv5.reshape(Bn, d * chi, d * rv * d)
+            th = jnp.einsum("Bxk,Bkz->Bxz", Ru.reshape(Bn, ru, d * chi), Rv5)
+            theta_mat = th.reshape(Bn, ru * d, rv * d)  # rows (x p), cols (y q)
             m_, n_ = ru * d, rv * d
             small = min(m_, n_)
             if m_ <= n_:
@@ -1017,7 +1115,9 @@ class LatticeEngine:
             else:
                 G = jnp.einsum("bki,bkj->bij", jnp.conj(theta_mat), theta_mat)
             gram_bank.setdefault(small, []).append((ci, G))
-            mids.append((cls, theta_mat, Qu, Qv, Winv_u, Winv_v, ru, rv, Bn))
+            mids.append(
+                (cls, theta_mat, recomb_u, recomb_v, Winv_u, Winv_v, ru, rv, Bn)
+            )
 
         # phase 3: ONE eigensolve per Gram size.  Large Grams (n > chi+16)
         # go through the randomized subspace solver — only the top chi+8
@@ -1050,7 +1150,7 @@ class LatticeEngine:
                 ofs += b
 
         # phase 4: complete the SVD algebra, truncate, write back
-        for ci, (cls, theta_mat, Qu, Qv, Winv_u, Winv_v, ru, rv, Bn) in enumerate(mids):
+        for ci, (cls, theta_mat, recomb_u, recomb_v, Winv_u, Winv_v, ru, rv, Bn) in enumerate(mids):
             m_, n_ = ru * d, rv * d
             w, V, tail = eig_results[ci]
             w = jnp.real(w[..., ::-1])
@@ -1067,14 +1167,16 @@ class LatticeEngine:
                 Vh = jnp.conj(jnp.swapaxes(V, -1, -2))
                 U = jnp.einsum("bmn,bnk->bmk", theta_mat, V) * inv[..., None, :].astype(M.dtype)
             T, M, errors = self._finish_two_site(
-                T, M, errors, cls, U, s, Vh, Qu, Qv, Winv_u, Winv_v, ru, rv, Bn,
+                T, M, errors, cls, U, s, Vh, recomb_u, recomb_v, Winv_u, Winv_v, ru, rv, Bn,
                 cutoff, normalize, tail_extra=tail,
             )
         return T, M, errors
 
-    def _finish_two_site(self, T, M, errors, cls, U, s, Vh, Qu, Qv, Winv_u, Winv_v, ru, rv, Bn, cutoff, normalize, tail_extra=None):
-        """Shared tail of the two-site update: truncation, recombination,
-        gauge removal, scatter, and singular-value message writeback."""
+    def _finish_two_site(self, T, M, errors, cls, U, s, Vh, recomb_u, recomb_v, Winv_u, Winv_v, ru, rv, Bn, cutoff, normalize, tail_extra=None):
+        """Shared tail of the two-site update: truncation, recombination
+        (via the per-side `recomb_*` closures mapping R_new [B, r, d*chi]
+        back to the flat side [B, R_env, d*chi]), gauge removal, scatter,
+        and singular-value message writeback."""
         chi, d = self.chi, self.d
         s_m, mask, err = _truncate_mask(
             s.astype(self.real_dtype), chi, cutoff, tail_extra=tail_extra
@@ -1094,8 +1196,8 @@ class LatticeEngine:
         Rv_new = rs[:, :, None] * Vh
         Ru_new = Ru_new.reshape(Bn, ru, d, chi).reshape(Bn, ru, d * chi)
         Rv_new = jnp.swapaxes(Rv_new, 1, 2).reshape(Bn, rv, d, chi).reshape(Bn, rv, d * chi)
-        Au_new = self._unreduce(Qu, Ru_new, Winv_u, cls.ku)
-        Av_new = self._unreduce(Qv, Rv_new, Winv_v, cls.kv)
+        Au_new = self._restore(recomb_u(Ru_new), Winv_u, cls.ku)
+        Av_new = self._restore(recomb_v(Rv_new), Winv_v, cls.kv)
         if normalize:
             def tnorm(A):
                 flat = A.reshape(Bn, -1)
@@ -1138,6 +1240,7 @@ class LatticeEngine:
         bp_maxiter: int = 30,
         bp_tolerance: float | None = None,
         bp_inner_maxiter: int = 2,
+        layers_per_call: int = 1,
     ):
         """Compile a circuit layer into one jitted function
         ``(T, M) -> (T, M, errors)``.
@@ -1145,7 +1248,14 @@ class LatticeEngine:
         BP refreshes are inserted before every 2-site group except the first
         — exactly the affected-vertex rule of the flex driver
         (`src/Apply/apply_gates.jl:64-83`) specialized to color-group
-        batches."""
+        batches.
+
+        `layers_per_call` > 1 runs that many repetitions of the layer per
+        dispatch via `lax.fori_loop` (body compiled once — no unrolling);
+        `errors` comes back as [layers_per_call, n_gates].  Host dispatch
+        on tunneled backends costs ~43 ms per call (measured,
+        `scripts/microbench_gate.py`), a large fraction of a ~200 ms
+        layer — fusing layers amortizes it."""
         if bp_tolerance is None:
             bp_tolerance = float(default_engine_tolerance(self.dtype))
         compiled = compile_circuit(self.plan, circuit, d=self.d)
@@ -1181,11 +1291,11 @@ class LatticeEngine:
         # The final refresh of the step still runs to full convergence.
         inner = min(bp_maxiter, bp_inner_maxiter)
 
-        def step_impl(T, M, G):
+        def layer_impl(T, M, G):
             errors = jnp.zeros((n_gates,), dtype=self.real_dtype)
             for entry in program:
                 if entry[0] == "bp":
-                    M = self._bp_fixed_point(T, M, inner, bp_tolerance)
+                    M = self._bp_fixed_point(T, M, inner, bp_tolerance, False)
                 elif entry[0] == "one":
                     T = self._apply_one_site_group(T, entry[1], G[entry[2]])
                 elif self.factor_method == "gram":
@@ -1197,8 +1307,25 @@ class LatticeEngine:
                         T, M, errors = self._apply_two_site_class(
                             T, M, errors, cls, cutoff, normalize, gates=G[entry[2]][ci]
                         )
-            M = self._bp_fixed_point(T, M, bp_maxiter, bp_tolerance)
+            M = self._bp_fixed_point(T, M, bp_maxiter, bp_tolerance, False)
             return T, M, errors
+
+        L = int(layers_per_call)
+        if L == 1:
+            step_impl = layer_impl
+        else:
+
+            def step_impl(T, M, G):
+                all_errors = jnp.zeros((L, n_gates), dtype=self.real_dtype)
+
+                def body(i, carry):
+                    T, M, all_errors = carry
+                    T, M, errors = layer_impl(T, M, G)
+                    return (T, M, lax.dynamic_update_slice_in_dim(
+                        all_errors, errors[None], i, axis=0
+                    ))
+
+                return lax.fori_loop(0, L, body, (T, M, all_errors))
 
         jitted = jax.jit(step_impl)
 
@@ -1207,6 +1334,7 @@ class LatticeEngine:
 
         step.jitted = jitted
         step.gate_params = gate_params
+        step.layers_per_call = L
         return step
 
     def evolve(self, circuit: Sequence, num_layers: int = 1, **kwargs):

@@ -67,6 +67,57 @@ def cholesky_qr(A: Array, rounds: int = 2) -> tuple[Array, Array]:
     return Q, R_total
 
 
+def gram_rfactor(G: Array) -> tuple[Array, Array, Array]:
+    """R factor of a tall matrix X from its Gram matrix G = X^H X alone.
+
+    Gram-space shifted CholeskyQR2: never touches X.  Round 1: L1 from the
+    shifted Cholesky of G.  Round 2 measures the orthogonality defect of the
+    implicit Q1 = X L1^{-H} directly in Gram space — G2 = L1^{-1} G L1^{-H}
+    (= Q1^H Q1 in exact arithmetic) — and factors it, so
+    R = L2^H L1^H gives X R^{-1} orthonormal to CholeskyQR2 accuracy while
+    every operation here is [n, n]-sized.  The engine's two-site update uses
+    this to build theta from R and to recombine as X @ (R^{-1} R_new)
+    (:func:`apply_rinv`), which replaces the two [B, R_env, n] triangular
+    solves and one extra [B, R_env, n] Gram of explicit CholeskyQR2 with
+    small solves — R_env = chi^2 is 32x larger than n = d*chi at the
+    benchmark shapes.
+
+    Returns (R upper [., n, n], L1 lower, L2 lower).  Null columns of X are
+    safe: their G block is exactly the shift, L1 = sqrt(shift) I and
+    G2 = I there, so R carries ~sqrt(shift) rows that the downstream
+    truncation discards (and X's exact-zero columns annihilate the large
+    R^{-1} rows in the recombination)."""
+    n = G.shape[-1]
+    eps = _eps_of(G.dtype)
+    eye = jnp.eye(n, dtype=G.dtype)
+
+    def shifted_chol(H):
+        tr = jnp.real(jnp.trace(H, axis1=-2, axis2=-1))[..., None, None]
+        shift = (8.0 * eps) * tr + eps * eps
+        return jnp.linalg.cholesky(H + shift.astype(H.dtype) * eye)
+
+    L1 = shifted_chol(G)
+    Y = jax.scipy.linalg.solve_triangular(L1, G, lower=True)  # L1^{-1} G
+    G2 = jax.scipy.linalg.solve_triangular(
+        L1, jnp.conj(jnp.swapaxes(Y, -1, -2)), lower=True
+    )  # L1^{-1} G L1^{-H} (hermitian by construction up to rounding)
+    G2 = 0.5 * (G2 + jnp.conj(jnp.swapaxes(G2, -1, -2)))
+    L2 = shifted_chol(G2)
+    R = jnp.einsum(
+        "...ij,...jk->...ik",
+        jnp.conj(jnp.swapaxes(L2, -1, -2)),
+        jnp.conj(jnp.swapaxes(L1, -1, -2)),
+    )
+    return R, L1, L2
+
+
+def apply_rinv(L1: Array, L2: Array, B: Array) -> Array:
+    """Compute R^{-1} @ B for R = L2^H L1^H from :func:`gram_rfactor`:
+    two small triangular solves (L2^H y = B, then L1^H x = y)."""
+    y = jax.scipy.linalg.solve_triangular(L2, B, lower=True, trans=2)
+    return jax.scipy.linalg.solve_triangular(L1, y, lower=True, trans=2)
+
+
 def default_eigh(n: int):
     """Pick the eigh backend for n-dim hermitian batches: the Pallas Jacobi
     kernel on TPU for supported sizes (sub-32 matrices break Mosaic's
