@@ -504,6 +504,45 @@ class HaloStepEngine:
                 Ml = out
         return Ml
 
+    def halo_bytes_per_layer(self, circuit, bp_maxiter: int = 30,
+                             bp_inner_maxiter: int = 2) -> dict:
+        """Per-device ICI traffic of ONE executed layer of `make_step`.
+
+        Walks the same compiled program the step executes and sums the
+        byte sizes of every `ppermute` buffer (static shapes — this is the
+        exact traffic of the compiled step, not a geometric estimate):
+        BP halo messages per (sweep, stage) and the ghost-tensor/message
+        exchanges before each two-site group."""
+        eng, hp = self.engine, self.hplan
+        sp = self._ensure_plan(circuit)
+        chi = eng.chi
+        itemsize = np.dtype(eng.dtype).itemsize
+        n_stages = len({g[0] for g in hp.groups})
+        msg_bytes = (hp.n_up + hp.n_dn) * chi * chi * itemsize  # per stage
+        inner = min(bp_maxiter, bp_inner_maxiter)
+
+        bp_refreshes = sum(1 for e in sp.program if e[0] == "bp")
+        bp_sweeps = bp_refreshes * inner + bp_maxiter  # + final refresh
+        bp_bytes = bp_sweeps * n_stages * msg_bytes
+
+        gate_bytes = 0
+        for entry in sp.program:
+            if entry[0] != "two":
+                continue
+            for k in sp.ext_n:
+                row = eng.d * chi**k * itemsize
+                gate_bytes += (sp.gfb_n[k] + sp.gfa_n[k]) * row
+            for dd in (1, -1, 2, -2):
+                if hp.n_bands > abs(dd):
+                    gate_bytes += sp.msg_n[dd] * chi * chi * itemsize
+        return dict(
+            bp_bytes=int(bp_bytes),
+            gate_bytes=int(gate_bytes),
+            total_bytes=int(bp_bytes + gate_bytes),
+            bp_sweeps=int(bp_sweeps),
+            n_stages=int(n_stages),
+        )
+
     # -- the step ---------------------------------------------------------
     def make_step(self, circuit, cutoff: float = 0.0, normalize: bool = True,
                   bp_maxiter: int = 30, bp_inner_maxiter: int = 2):
