@@ -60,7 +60,13 @@ def bench_engine(g, layer, chi, steps):
 
     psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
     eng = LatticeEngine(psi, chi=chi, dtype=jnp.complex64)
-    step = eng.make_step(layer, cutoff=1e-12, bp_maxiter=25)
+    # host dispatch costs ~43 ms per call on the tunneled backend (measured
+    # in scripts/microbench_gate.py) — ~17% of a layer; fuse several layers
+    # per dispatch (fori_loop body compiled once, same math)
+    fuse = max(1, int(os.environ.get("TNQS_BENCH_FUSE", "5")))
+    while steps % fuse:
+        fuse -= 1
+    step = eng.make_step(layer, cutoff=1e-12, bp_maxiter=25, layers_per_call=fuse)
 
     # On tunneled-TPU (axon) backends `block_until_ready` returns before
     # execution finishes, so the timed region must end with a host fetch of
@@ -92,11 +98,12 @@ def bench_engine(g, layer, chi, steps):
 
     t0 = time.time()
     with trace_from_env():  # TNQS_PROFILE=<dir> -> xprof trace of the loop
-        for _ in range(steps):
+        for _ in range(steps // fuse):
             T, M, errors = step(T, M)
         fetch(T, M, errors)  # forces the whole chain; ~25ms, amortized
     dt = (time.time() - t0) / steps
-    return 1.0 / dt, compile_s
+    eng.T, eng.M = T, M  # evolved state, for the chi=64 measurement stage
+    return 1.0 / dt, compile_s, eng
 
 
 def bench_flex(g, layer, chi):
@@ -122,6 +129,77 @@ def bench_flex(g, layer, chi):
     bpc, _ = tnqs.apply_gates(layer, bpc, apply_kwargs=apply_kwargs)
     dt = time.time() - t0
     return 1.0 / dt
+
+
+def bench_chi64_measurement(eng, cache: dict):
+    """Round-3 stage: boundary-MPS measurement of the FLAGSHIP chi=64
+    evolved state on device (verdict item 3 — round 2 never demonstrated an
+    accurate measurement path at the benchmark bond dimension).
+
+    Times compiled BMPS <Z> on the two probe vertices (golden central (7,8)
+    and the workload-2 vertex (11,5)) at MPS rank 16 with an 8-wide
+    oversampled sketch, a rank-24 control (sweep-convergence evidence), and
+    50 directly-certified samples.  The flex cross-check (host, rank 10 —
+    the reference's own measurement rank, `heavyhexIsing_dynamics.jl`) is
+    measured once per host and cached."""
+    import jax
+
+    from tnqs.bmps_engine import BMPSEngine, BMPSSampler
+
+    verts = [(7, 8), (11, 5)]
+    be = BMPSEngine(eng, rank=16)
+    t0 = time.time()
+    z16 = be.expect_1site("Z", vertices=verts)
+    t_expect_cold = time.time() - t0
+    t0 = time.time()
+    z16 = be.expect_1site("Z", vertices=verts)
+    t_expect = time.time() - t0
+    z24 = BMPSEngine(eng, rank=24).expect_1site("Z", vertices=verts)
+    z_bp = eng.expect_1site("Z")
+    # Sampling pays the doubled-layer environment walks PER SAMPLE (the
+    # expectation amortizes them over the lattice), so its ranks are set by
+    # compute: rank^2 * chi^4-scale flops per cross vertex per sample.
+    sam = BMPSSampler(BMPSEngine(eng, rank=8), proj_rank=16)
+    cert = sam.sample_directly_certified(50, seed=0)
+    t0 = time.time()
+    cert = sam.sample_directly_certified(50, seed=1)
+    t_sample = time.time() - t0
+    pq = np.array([c["poverq"] for c in cert])
+    out = dict(
+        z16={str(v): float(np.real(z16[v])) for v in verts},
+        z24={str(v): float(np.real(z24[v])) for v in verts},
+        z_bp={str(v): float(np.real(z_bp[v])) for v in verts},
+        expect_s=t_expect,
+        expect_cold_s=t_expect_cold,
+        sample50_s=t_sample,
+        pq_mean=float(pq.mean()),
+        pq_rel_std=float(pq.std() / pq.mean()),
+    )
+    # Host flex cross-check at the reference's rank: OPT-IN
+    # (TNQS_BENCH_CHI64_FLEX=1) because the flex tier runs on the
+    # chi-PADDED state — hours of single-core fitting at chi=64.  The
+    # standing cross-checks are the rank-16-vs-24 agreement above, the BP
+    # value, and the committed small-lattice engine-vs-flex BMPS gates in
+    # `tests/test_bmps_engine.py`.  A cached value (one offline run) is
+    # reused when present.
+    if "chi64_flex_z" in cache:
+        out["flex_z10"] = cache["chi64_flex_z"]
+    elif os.environ.get("TNQS_BENCH_CHI64_FLEX"):
+        import tnqs
+
+        psi_t = eng.to_state()
+        t0 = time.time()
+        z = tnqs.expect(
+            psi_t, [("Z", [verts[0]]), ("Z", [verts[1]])],
+            alg="boundarymps", mps_bond_dimension=10,
+        )
+        out["flex_z10"] = {
+            str(verts[0]): float(np.real(z[0])),
+            str(verts[1]): float(np.real(z[1])),
+            "seconds": time.time() - t0,
+        }
+        cache["chi64_flex_z"] = out["flex_z10"]
+    return out
 
 
 def bench_workload2_engine():
@@ -174,7 +252,7 @@ def bench_workload2_engine():
 def bench_workload2_flex(cache: dict | None):
     """The same pipeline on the host flex tier (reference execution model);
     measured once per host and cached."""
-    if cache and "w2_flex" in cache:
+    if cache and "pq_rel_std" in cache.get("w2_flex", {}):
         return cache["w2_flex"]
     import tnqs
     from tnqs.models import heavy_hex_kicked_ising_layer
@@ -194,16 +272,19 @@ def bench_workload2_flex(cache: dict | None):
     sz = tnqs.expect(psi_t, [("Z", [(11, 5)])], alg="boundarymps", mps_bond_dimension=10)
     t_expect = time.time() - t0
     t0 = time.time()
-    tnqs.sample_directly_certified(
+    cert = tnqs.sample_directly_certified(
         psi_t, 50, alg="boundarymps", norm_mps_bond_dimension=10,
         projected_mps_bond_dimension=40, rng=np.random.default_rng(0),
     )
     t_sample = time.time() - t0
+    pq = np.array([np.real(c["poverq"]) for c in cert])
     return dict(
         z_center=float(np.real(sz[0])),
         evolve_s=t_evolve,
         expect_s=t_expect,
         sample50_s=t_sample,
+        pq_mean=float(pq.mean()),
+        pq_rel_std=float(pq.std() / pq.mean()),
     )
 
 
@@ -232,7 +313,7 @@ def julia_bound_lps(g, layer, chi, flex_lps):
 def main():
     g, layer, chi = build_workload()
     steps = int(os.environ.get("TNQS_BENCH_STEPS", "5" if FAST else "20"))
-    layers_per_sec, compile_s = bench_engine(g, layer, chi, steps)
+    layers_per_sec, compile_s, eng = bench_engine(g, layer, chi, steps)
 
     # The flex baseline is a host-CPU measurement and stable across runs, so
     # reuse the cached value unless forced — but only a cache produced on
@@ -259,12 +340,20 @@ def main():
         )
         CACHE.write_text(json.dumps(cached))
 
+    # chi=64 measurement stage on the evolved flagship state (round 3)
+    m64 = None
+    if not FAST and not os.environ.get("TNQS_BENCH_SKIP_CHI64"):
+        m64 = bench_chi64_measurement(eng, cached)
+        if "chi64_flex_z" in cached:
+            cached.update(chi=chi, nv=g.nv(), host=host)
+            CACHE.write_text(json.dumps(cached))
+
     # workload 2 (reference parameters): compiled pipeline + flex baseline
     w2 = w2_flex = None
     if not FAST and not os.environ.get("TNQS_BENCH_SKIP_W2"):
         w2 = bench_workload2_engine()
         w2_flex = bench_workload2_flex(cached)
-        if "w2_flex" not in cached:
+        if "w2_flex" not in cached or "pq_rel_std" not in cached.get("w2_flex", {}):
             cached["w2_flex"] = w2_flex
             cached.update(chi=chi, nv=g.nv(), host=host)
             CACHE.write_text(json.dumps(cached))
@@ -280,7 +369,11 @@ def main():
         w2f_total = w2_flex["expect_s"] + w2_flex["sample50_s"]
         result["w2_measure_s"] = round(w2_total, 3)
         result["w2_flex_measure_s"] = round(w2f_total, 2)
-        result["w2_speedup"] = round(w2f_total / w2_total, 1)
+        # measurement stages only (expect + sampling), evolution excluded
+        result["w2_measure_speedup"] = round(w2f_total / w2_total, 1)
+    if m64 is not None:
+        result["chi64_measure_s"] = round(m64["expect_s"] + m64["sample50_s"], 3)
+        result["chi64_pq_rel_std"] = round(m64["pq_rel_std"], 5)
     print(json.dumps(result))
     julia_note = (
         f"BLAS-bound CPU-Julia estimate <= {julia_lps:.3f} layers/s "
@@ -293,13 +386,25 @@ def main():
         f"flex/reference-style: {flex_lps:.4f} layers/s; " + julia_note,
         file=sys.stderr,
     )
+    if m64 is not None:
+        fz = m64.get("flex_z10", {})
+        print(
+            f"# chi=64 measurement: BMPS<Z> rank16 {m64['expect_s']:.2f}s "
+            f"(cold {m64['expect_cold_s']:.1f}s) + 50 certified samples "
+            f"{m64['sample50_s']:.2f}s, p/q rel-std {m64['pq_rel_std']:.2e}; "
+            f"Z(7,8): r16={m64['z16']['(7, 8)']:.4f} r24={m64['z24']['(7, 8)']:.4f} "
+            f"bp={m64['z_bp']['(7, 8)']:.4f} flex_r10={fz.get('(7, 8)', float('nan')):.4f}; "
+            f"Z(11,5): r16={m64['z16']['(11, 5)']:.4f} r24={m64['z24']['(11, 5)']:.4f} "
+            f"bp={m64['z_bp']['(11, 5)']:.4f} flex_r10={fz.get('(11, 5)', float('nan')):.4f}",
+            file=sys.stderr,
+        )
     if w2 is not None:
         print(
             "# workload-2 (chi=8, rank=10): engine BMPS<Z> "
             f"{w2['expect_s']:.2f}s + 50 certified samples {w2['sample50_s']:.2f}s "
             f"(flex: {w2_flex['expect_s']:.1f}s + {w2_flex['sample50_s']:.1f}s); "
             f"<Z>c={w2['z_center']:.4f} (flex {w2_flex['z_center']:.4f}); "
-            f"p/q rel-std {w2['pq_rel_std']:.2e}",
+            f"p/q rel-std {w2['pq_rel_std']:.2e} (flex {w2_flex.get('pq_rel_std', float('nan')):.2e})",
             file=sys.stderr,
         )
 
