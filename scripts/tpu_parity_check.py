@@ -16,8 +16,18 @@ measured by the flex-f32 control, not at some larger engine-error floor.
 
 Run ON TPU (one process!):  python scripts/tpu_parity_check.py
 Prerequisite: tests/golden/golden_f32_controls.json (generate_f32_controls.py).
+
+Variants (diagnosing the round-3 parity gap — the randomized subspace
+truncation was measured at 4e-2 reconstruction error on saturated
+gently-decaying spectra by `scripts/probe_trunc_accuracy.py`, vs 5e-6 for
+the full-eigh gram path):
+
+    --trunc {subspace,full}   truncation eigensolver for large theta grams
+    --layers N                override layer count
+    --out PATH                artifact path (default tests/golden/tpu_parity_chi64.json)
 """
 
+import argparse
 import json
 import pathlib
 import sys
@@ -38,16 +48,24 @@ from tnqs.models import heavy_hex_kicked_ising_layer
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trunc", choices=("subspace", "full", "svd"), default=None)
+    ap.add_argument("--layers", type=int, default=None)
+    ap.add_argument("--out", default=str(GOLDEN / "tpu_parity_chi64.json"))
+    args = ap.parse_args()
+
     controls = json.loads((GOLDEN / "golden_f32_controls.json").read_text())
     cfg = controls["chi64"]["config"]
     center = tuple(cfg["center"])
     bench_v = tuple(cfg["bench_vertex"])
-    layers = int(cfg["layers"])
+    layers = args.layers or int(cfg["layers"])
 
     g = tnqs.eagle_lattice()
     layer = heavy_hex_kicked_ising_layer(g, cfg["J"], cfg["theta_h"])
     psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
     eng = LatticeEngine(psi, chi=int(cfg["maxdim"]), dtype=jnp.complex64)
+    if args.trunc is not None:
+        eng.trunc_method = args.trunc
     step = eng.make_step(layer, cutoff=float(cfg["cutoff"]), bp_maxiter=25)
 
     zc, zb = [], []
@@ -85,7 +103,7 @@ def main():
         "dev_from_f64_per_layer": [max(a, b) for a, b in zip(dev_c, dev_b)],
         "f32_floor_per_layer": controls["chi64"]["f32_floor_per_layer"],
     }
-    out = GOLDEN / "tpu_parity_chi64.json"
+    out = pathlib.Path(args.out)
     out.write_text(json.dumps(payload, indent=1, sort_keys=True))
     floor = max(controls["chi64"]["f32_floor_per_layer"])
     dev = max(payload["dev_from_f64_per_layer"])

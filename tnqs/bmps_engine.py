@@ -171,13 +171,16 @@ def _orth(Y: Array) -> Array:
     return Y @ (U * inv[None, :].astype(U.dtype)) @ U.conj().T
 
 
-def _rand_trunc_factored(apply_A, apply_Ah, omega: Array, m_shape, keep: int | None = None):
+def _rand_trunc_factored(apply_A, apply_Ah, omega: Array, m_shape, keep: int | None = None, power_iters: int = 1):
     """Randomized rank factorization A ~= Q C WITHOUT materializing A.
 
     `apply_A(V)` contracts A's factor list against V [..cols.., x] and
     `apply_Ah(W)` against W [..rows.., x]; A itself (the emit-vertex
-    6-index tensor, up to tens of GB at chi=64) never exists.  One power
-    iteration then exact whitening through the tiny [x, x] Gram eigh.
+    6-index tensor, up to tens of GB at chi=64) never exists.
+    `power_iters` rounds of subspace iteration (each a A^H / A pair with an
+    exact re-orthonormalization in between — without it the f32 power
+    iterate loses the trailing directions to rounding before they can be
+    captured) then exact whitening through the tiny [x, x] Gram eigh.
 
     With `keep` < x the sketch is OVERSAMPLED: the x-wide subspace is
     truncated to its best `keep`-dimensional part via the small [x, x]
@@ -190,8 +193,10 @@ def _rand_trunc_factored(apply_A, apply_Ah, omega: Array, m_shape, keep: int | N
     callers needing absolute scales (the sampler's p/q certificates) can
     track them in log space while tensors stay O(1) in f32."""
     Y = apply_A(omega)
-    Y = apply_A(apply_Ah(Y))  # one power iteration
     x = Y.shape[-1]
+    for _ in range(max(power_iters, 0)):
+        Q = _orth(Y.reshape(-1, x)).reshape(*m_shape, x)
+        Y = apply_A(apply_Ah(Q))
     Q = _orth(Y.reshape(-1, x)).reshape(*m_shape, x)
     C = jnp.conj(apply_Ah(Q))  # (A^H Q)^* = (Q^H A)^T, cols-major [..cols.., x]
     if keep is not None and keep < x:
@@ -219,13 +224,17 @@ class BMPSEngine:
     vertex.  `rank` is the MPS bond dimension (the accuracy knob,
     reference `mps_bond_dimension`)."""
 
-    def __init__(self, engine: LatticeEngine, rank: int, column_of=None, row_of=None, seed: int = 7, oversample: int = 8):
+    def __init__(self, engine: LatticeEngine, rank: int, column_of=None, row_of=None, seed: int = 7, oversample: int = 8, power_iters: int = 1):
         self.engine = engine
         self.rank = int(rank)
         # sketch width = rank + oversample; the subspace is truncated back
         # to `rank` through the small C^H C eigh (randomized SVD with
         # oversampling).  0 disables (round-2 behavior).
         self.oversample = int(oversample)
+        # subspace-iteration rounds per sketch (accuracy knob #2: each round
+        # sharpens the captured subspace by the spectral-decay factor at the
+        # cost of one extra A/A^H ladder pair per emit vertex)
+        self.power_iters = int(power_iters)
         self.cplan = ColumnPlan.build(engine.plan, column_of, row_of)
         # sketches are seeded per (column, direction, vertex) so every
         # compiled program sees the same draws regardless of build order
@@ -368,7 +377,8 @@ class BMPSEngine:
                     return _chunk_last(f, W, xc)
 
                 Q, Cnew, logn = _rand_trunc_factored(
-                    apply_A, apply_Ah, omega, (q, rk, rb), keep=x
+                    apply_A, apply_Ah, omega, (q, rk, rb), keep=x,
+                    power_iters=self.power_iters,
                 )
                 logscale = logscale + logn
                 emitted[emit_of[v]] = Q

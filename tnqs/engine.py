@@ -617,17 +617,35 @@ class LatticeEngine:
         import os as _os
 
         self.reduce_method = _os.environ.get("TNQS_REDUCE", "cholqr2")
-        # Truncation eigensolver for the gram path's theta Gram matrices:
-        # "subspace" = randomized subspace iteration to the top chi+8
-        # pairs (MXU matmuls + one small Rayleigh-Ritz solve; the full
-        # 128-dim Jacobi solve is ~43% of a benchmark layer at chi=64),
-        # "full" = exact batched eigh.  Auto resolves to subspace on TPU;
-        # the unresolved spectral tail folds into the truncation errors.
-        self.trunc_method = (
-            "subspace"
-            if jax.default_backend() == "tpu" and self.factor_method == "gram"
-            else "full"
-        )
+        # Two-site truncation solver:
+        # "svd" = direct (unsquared) jnp.linalg.svd of theta — the
+        #   PRODUCTION TPU path.  The Gram routes square kappa(theta), so
+        #   their absolute f32 eigh noise (~5e-6 on TPU for EVERY available
+        #   backend — XLA QDWH and the Pallas Jacobi alike, measured by
+        #   `scripts/probe_eigh_backends.py`; C128 is not a TPU type, so
+        #   there is no f64 escape hatch) lands on the small singular
+        #   directions and is then amplified by the 1/sqrt(s_min) un-gauge
+        #   factors to ~1e-3/layer.  The direct SVD keeps errors graded the
+        #   way the flex tier's LAPACK gesdd does: the committed chi=64
+        #   Eagle parity artifact (`tests/golden/tpu_parity_chi64.json`)
+        #   tracks flex-f64 to 1.4e-6 over 10 layers — BELOW the flex-f32
+        #   control floor (5.3e-6).
+        # "subspace" = randomized subspace iteration to the top chi+8 Gram
+        #   pairs (MXU matmuls + one small Rayleigh-Ritz solve) — the fast
+        #   mode (~1.5x layer throughput), accurate to the measured ~2e-3 /
+        #   10-layer envelope (`tpu_parity_chi64_subspace.json`): gapless
+        #   saturated spectra defeat subspace capture, so use it when
+        #   throughput matters more than trajectory parity.
+        # "full" = exact batched eigh of the Gram (CPU default: LAPACK).
+        import os as _os
+
+        if jax.default_backend() == "tpu" and self.factor_method == "gram":
+            default_trunc = "svd"
+        else:
+            default_trunc = "full"
+        self.trunc_method = _os.environ.get("TNQS_TRUNC", "") or default_trunc
+        if self.trunc_method not in ("svd", "subspace", "full"):
+            raise ValueError(f"unknown trunc_method {self.trunc_method!r}")
         # Precision of the BP message sweeps, the step's FLOPs hot spot
         # (~70% at chi=64).  None inherits the global policy (highest);
         # "high" (bf16_3x) is ~3x faster per sweep — validated to stay
@@ -1110,11 +1128,12 @@ class LatticeEngine:
             theta_mat = th.reshape(Bn, ru * d, rv * d)  # rows (x p), cols (y q)
             m_, n_ = ru * d, rv * d
             small = min(m_, n_)
-            if m_ <= n_:
-                G = jnp.einsum("bik,bjk->bij", theta_mat, jnp.conj(theta_mat))
-            else:
-                G = jnp.einsum("bki,bkj->bij", jnp.conj(theta_mat), theta_mat)
-            gram_bank.setdefault(small, []).append((ci, G))
+            if self.trunc_method != "svd":
+                if m_ <= n_:
+                    G = jnp.einsum("bik,bjk->bij", theta_mat, jnp.conj(theta_mat))
+                else:
+                    G = jnp.einsum("bki,bkj->bij", jnp.conj(theta_mat), theta_mat)
+                gram_bank.setdefault(small, []).append((ci, G))
             mids.append(
                 (cls, theta_mat, recomb_u, recomb_v, Winv_u, Winv_v, ru, rv, Bn)
             )
@@ -1152,20 +1171,32 @@ class LatticeEngine:
         # phase 4: complete the SVD algebra, truncate, write back
         for ci, (cls, theta_mat, recomb_u, recomb_v, Winv_u, Winv_v, ru, rv, Bn) in enumerate(mids):
             m_, n_ = ru * d, rv * d
-            w, V, tail = eig_results[ci]
-            w = jnp.real(w[..., ::-1])
-            V = V[..., ::-1]
-            s = jnp.sqrt(jnp.clip(w, 0.0, None))
-            smax = s[..., :1]
-            inv = jnp.where(s > (eps * 8.0) * smax, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
-            if m_ <= n_:
-                U = V
-                Vh = inv[..., :, None].astype(M.dtype) * jnp.einsum(
-                    "bjm,bjn->bmn", jnp.conj(U), theta_mat
-                )
+            if self.trunc_method == "svd":
+                # Direct (unsquared) SVD of theta — XLA's QDWH-SVD.  The
+                # parity-grade path: the Gram route squares kappa(theta), so
+                # its absolute eigh noise (~5e-6 at f32 on TPU, LAPACK-class
+                # f64 being unavailable: C128 is not a supported TPU type)
+                # lands on the small singular directions and is then
+                # amplified by the 1/sqrt(s_min) un-gauge factors; the
+                # direct SVD keeps errors graded the way the flex tier's
+                # LAPACK gesdd does (`scripts/probe_eigh_backends.py`).
+                U, s, Vh = jnp.linalg.svd(theta_mat, full_matrices=False)
+                tail = None
             else:
-                Vh = jnp.conj(jnp.swapaxes(V, -1, -2))
-                U = jnp.einsum("bmn,bnk->bmk", theta_mat, V) * inv[..., None, :].astype(M.dtype)
+                w, V, tail = eig_results[ci]
+                w = jnp.real(w[..., ::-1])
+                V = V[..., ::-1]
+                s = jnp.sqrt(jnp.clip(w, 0.0, None))
+                smax = s[..., :1]
+                inv = jnp.where(s > (eps * 8.0) * smax, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+                if m_ <= n_:
+                    U = V
+                    Vh = inv[..., :, None].astype(M.dtype) * jnp.einsum(
+                        "bjm,bjn->bmn", jnp.conj(U), theta_mat
+                    )
+                else:
+                    Vh = jnp.conj(jnp.swapaxes(V, -1, -2))
+                    U = jnp.einsum("bmn,bnk->bmk", theta_mat, V) * inv[..., None, :].astype(M.dtype)
             T, M, errors = self._finish_two_site(
                 T, M, errors, cls, U, s, Vh, recomb_u, recomb_v, Winv_u, Winv_v, ru, rv, Bn,
                 cutoff, normalize, tail_extra=tail,

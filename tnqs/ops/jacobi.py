@@ -204,12 +204,26 @@ def _chunk_size(m: int, n: int) -> int:
     return int(min(bc, 512))
 
 
-@partial(jax.jit, static_argnames=("sweeps", "interpret"))
-def jacobi_eigh(H: Array, sweeps: int = 8, interpret: bool = False):
+@partial(jax.jit, static_argnames=("sweeps", "interpret", "refine"))
+def jacobi_eigh(H: Array, sweeps: int = 12, interpret: bool = False, refine: bool = True):
     """Eigendecomposition of batched hermitian H [..., n, n] (n even).
 
     Returns (w ascending [..., n], V [..., n, n]) with
-    H ~= V @ diag(w) @ V^H — the `jnp.linalg.eigh` contract."""
+    H ~= V @ diag(w) @ V^H — the `jnp.linalg.eigh` contract.
+
+    `refine` re-orthonormalizes the accumulated rotation product and
+    recomputes the eigenvalues as Rayleigh quotients.  The kernel's V is the
+    product of ~sweeps*(n-1) f32 rotation rounds; the accumulated
+    orthogonality drift (~4e-5 at n=128) dominated the eigenpair residual
+    (1e-4 vs LAPACK-f32's 3e-7) and — through sqrt(s)/1/s amplification in
+    the engine's truncation algebra — blew the chi=64 Eagle parity run to
+    3e-2 per layer the moment saturated full-rank grams appeared (round-3
+    diagnosis; `scripts/repro_jacobi_nan.py`).  Two CholeskyQR rounds plus
+    one Rayleigh diagonal are MXU matmuls, negligible next to the
+    sequential rotation rounds.  `sweeps` default is 12: clustered spectra
+    (e.g. saturated theta grams with a truncation shoulder) still have
+    ~1e-3-level off-diagonal mass at 8 sweeps and need ~12 to converge;
+    past convergence extra sweeps are rotation-free and add no drift."""
     batch_shape = H.shape[:-2]
     n = H.shape[-1]
     if n % 2 != 0:
@@ -283,6 +297,19 @@ def jacobi_eigh(H: Array, sweeps: int = 8, interpret: bool = False):
         V = jax.lax.complex(wr, wi).astype(H.dtype)
     else:
         V = wr.astype(H.dtype)
+    if refine:
+        # Newton–Schulz re-orthonormalization of the rotation product, then
+        # Rayleigh-quotient eigenvalues for the corrected basis.  V is
+        # within ~1e-4 of orthonormal, so one polar step V(3I - V^H V)/2
+        # contracts the defect quadratically to the f32 rounding floor —
+        # two MXU matmuls, no Cholesky (cholesky_qr's trace-relative shift
+        # is ~8*eps*n ~ 1e-4 on a near-identity Gram, which would
+        # re-introduce the very defect being removed).
+        for _ in range(2):
+            Gv = jnp.einsum("bji,bjk->bik", jnp.conj(V), V)
+            V = 0.5 * (3.0 * V - jnp.einsum("bij,bjk->bik", V, Gv))
+        Y = jnp.einsum("bij,bjk->bik", Hb, V)
+        w = jnp.real(jnp.sum(jnp.conj(V) * Y, axis=1)).astype(jnp.float32)
     order = jnp.argsort(w, axis=1)
     w = jnp.take_along_axis(w, order, axis=1)
     V = jnp.take_along_axis(V, order[:, None, :], axis=2)
