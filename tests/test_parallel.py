@@ -212,3 +212,38 @@ def test_sharded_sampler_matches_single_device():
     for a, b in zip(ref, sharded):
         assert a["bitstring"] == b["bitstring"]
         assert abs(a["poverq"] - b["poverq"]) < 1e-5 * max(1.0, abs(a["poverq"]))
+
+
+def test_sharded_bmps_expect_matches_unsharded():
+    """Ring-pipelined boundary-MPS column sweep (SURVEY §2.8: "boundary-MPS
+    row sweeps pipelined across a device ring"): band-for-band the relay +
+    parallel ladder walks must reproduce the unsharded engine to f32 eps
+    (identical sketch draws — keyed by column/direction/vertex, not
+    device)."""
+    from tnqs.bmps_engine import BMPSEngine
+    from tnqs.parallel.bmps_ring import ShardedBMPS
+
+    g = tnqs.named_grid((8, 3))
+    psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+    layer = tfim_layer(g, J=0.5, hx=1.0, dt=0.3)
+    eng = LatticeEngine(psi, chi=2, dtype=jnp.complex64)
+    eng.bp_update(maxiter=10)
+    eng.evolve(layer, num_layers=2, cutoff=1e-10, bp_maxiter=10)
+
+    ref = BMPSEngine(eng, rank=3).expect_1site("Z")
+    got = ShardedBMPS(BMPSEngine(eng, rank=3), make_mesh(4)).expect_1site("Z")
+    assert set(got) == set(ref)
+    for v in ref:
+        assert abs(got[v] - ref[v]) < 2e-5, (v, got[v], ref[v])
+
+
+def test_sharded_bmps_rejects_too_few_columns():
+    from tnqs.bmps_engine import BMPSEngine
+    from tnqs.parallel.bmps_ring import ShardedBMPS
+
+    g = tnqs.named_grid((3, 3))
+    psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+    eng = LatticeEngine(psi, chi=2, dtype=jnp.complex64)
+    eng.bp_update(maxiter=5)
+    with pytest.raises(ValueError, match="column per device"):
+        ShardedBMPS(BMPSEngine(eng, rank=2), make_mesh(8))

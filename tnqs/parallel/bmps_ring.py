@@ -9,15 +9,20 @@ Two parallel dimensions exist in the compiled measurement tier:
   per-sample projected sweeps partition.  Scaling is embarrassing (no
   cross-sample communication beyond the final gather), which makes this
   the production scale-out axis for sampling workloads.
-* **Columns** (design note): the zip sweeps themselves are sequential left
-  and right chains over column cuts.  With columns banded over a device
-  ring, the two directions pipeline in opposite directions (device d
-  active for the left sweep at step d and the right sweep at step D-1-d:
-  2x over sequential) and the per-column ladder walks — the dominant cost
-  at large chi — are fully parallel once both cut MPSes of a band exist.
-  This needs a masked uniform column body (every device must trace the
-  same program), which the unrolled per-vertex sweeps deliberately avoid;
-  the sample axis above scales first.
+* **Columns** (:class:`ShardedBMPS`): the zip sweeps are sequential left
+  and right chains over column cuts, so columns are banded contiguously
+  over a device ring and the boundary MPSes RELAY around it: a
+  `lax.fori_loop` in which every device zips its own band and `ppermute`s
+  the exit cut-MPS to its neighbour — the left and right sweeps ride the
+  ring in opposite directions simultaneously (each costs the same D-step
+  relay, so overlapping them is 2x over running them back to back).
+  After D-1 relay steps every band holds both of its entry boundaries
+  exactly (the reference's inherently sequential outer sweep,
+  `boundarympscache.jl:330-369`, is the depth of this relay), and the
+  per-column ladder walks — the dominant cost at large chi — run FULLY
+  parallel across bands, one `lax.switch` branch per device.  Per-band
+  results match the unsharded engine to f32 eps because the on-device
+  sketch draws are keyed by (column, direction, vertex), not by device.
 
 Validated on the virtual CPU mesh by `tests/test_parallel.py` and
 `__graft_entry__.py:dryrun_multichip` (stage 4).
@@ -28,9 +33,228 @@ from __future__ import annotations
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..bmps_engine import BMPSSampler
+from ..bmps_engine import BMPSEngine, BMPSSampler
+
+
+class ShardedBMPS:
+    """Boundary-MPS column sweep banded over a device ring (SURVEY §2.8's
+    measurement leg: "boundary-MPS row sweeps pipelined across a device
+    ring").
+
+    Columns split into D contiguous bands.  A `lax.fori_loop` relay runs
+    the left and right boundary chains around the ring simultaneously —
+    every device zips its own band each step and `ppermute`s the exit
+    cut-MPS onward (+1 for the left chain, -1 for the right); after D-1
+    steps device d's entries are exact (entries of devices ≤ step are
+    correct by induction, and band 0 / band D-1 ignore the respective
+    wrapped-around garbage).  Then the per-column ladder walks — the
+    dominant cost at large chi — run fully parallel across bands via one
+    `lax.switch` branch per device.
+
+    Requires uniform cut shapes (every interior cut carries the same
+    number of cross edges with identical tensor shapes — regular grids;
+    heavy-hex bands need shape padding and stay on the per-device sample
+    axis for now) and at least one column per device.  Results match the
+    unsharded :class:`BMPSEngine` to f32 eps because the on-device sketch
+    draws are keyed by (column, direction, vertex), not by device
+    (`tests/test_parallel.py::test_sharded_bmps_expect`)."""
+
+    def __init__(self, bmps: BMPSEngine, mesh: Mesh):
+        self.bmps = bmps
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.D = int(mesh.devices.size)
+        cp = bmps.cplan
+        nC = len(cp.columns)
+        if nC < self.D:
+            raise ValueError(
+                f"need >= 1 column per device ({nC} columns, {self.D} devices)"
+            )
+        base, rem = divmod(nC, self.D)
+        sizes = [base + (1 if i < rem else 0) for i in range(self.D)]
+        starts = list(np.cumsum([0] + sizes))
+        self.bands = [(starts[i], starts[i + 1]) for i in range(self.D)]
+        self.nC = nC
+        self._templates = None
+        self._fn = None
+
+    # -- cut-shape templates ---------------------------------------------
+    def _cut_templates(self):
+        """(left_shapes, right_shapes): the uniform per-cut tensor shapes of
+        the two sweep directions, derived by `jax.eval_shape` over the full
+        chains (no compute).  Raises if interior cuts disagree."""
+        if self._templates is not None:
+            return self._templates
+        bmps, nC = self.bmps, self.nC
+        Tspec = {
+            k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+            for k, v in self.bmps.engine.T.items()
+        }
+
+        def left_chain(T):
+            cur, outs = [], []
+            for c in range(nC - 1):
+                cur, _ = bmps._zip_column(T, c, cur, +1)
+                outs.append(tuple(cur))
+            return tuple(outs)
+
+        def right_chain(T):
+            cur, outs = [], []
+            for c in range(nC - 1, 0, -1):
+                cur, _ = bmps._zip_column(T, c, cur, -1)
+                outs.append(tuple(cur))
+            return tuple(outs)
+
+        lefts = jax.eval_shape(left_chain, Tspec)
+        rights = jax.eval_shape(right_chain, Tspec)
+
+        def uniform(cuts, tag):
+            shapes = [tuple((t.shape, t.dtype) for t in cut) for cut in cuts]
+            if any(s != shapes[0] for s in shapes[1:]):
+                raise ValueError(
+                    f"non-uniform {tag}-sweep cut shapes; the ring pipeline "
+                    "needs a regular column structure (use the per-sample "
+                    "axis or the flex tier for this lattice)"
+                )
+            return [jax.ShapeDtypeStruct(t.shape, t.dtype) for t in cuts[0]]
+
+        self._templates = (uniform(lefts, "left"), uniform(rights, "right"))
+        return self._templates
+
+    # -- compiled program -------------------------------------------------
+    def _build_expect(self):
+        from functools import partial
+
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        bmps, cp, nC, D = self.bmps, self.bmps.cplan, self.nC, self.D
+        axis, bands = self.axis, self.bands
+        tmplL, tmplR = self._cut_templates()
+        maxnv = max(
+            sum(len(cp.columns[c]) for c in range(s0, s1)) for (s0, s1) in bands
+        )
+        fwd = [(i, (i + 1) % D) for i in range(D)]
+        bwd = [(i, (i - 1) % D) for i in range(D)]
+
+        def mk_left_exit(i):
+            s0, s1 = bands[i]
+
+            def f(T, entry):
+                if s1 >= nC:  # last band: no leftward consumer
+                    return tuple(jnp.zeros(t.shape, t.dtype) for t in tmplL)
+                cur = [] if s0 == 0 else list(entry)
+                for c in range(s0, s1):
+                    cur, _ = bmps._zip_column(T, c, cur, +1)
+                return tuple(cur)
+
+            return f
+
+        def mk_right_exit(i):
+            s0, s1 = bands[i]
+
+            def f(T, entry):
+                if s0 == 0:  # first band: no rightward consumer
+                    return tuple(jnp.zeros(t.shape, t.dtype) for t in tmplR)
+                cur = [] if s1 == nC else list(entry)
+                for c in range(s1 - 1, s0 - 1, -1):
+                    cur, _ = bmps._zip_column(T, c, cur, -1)
+                return tuple(cur)
+
+            return f
+
+        def mk_band_body(i):
+            s0, s1 = bands[i]
+
+            def f(T, entryL, entryR, op):
+                lefts = {}
+                cur = [] if s0 == 0 else list(entryL)
+                for c in range(s0, s1):
+                    lefts[c] = cur
+                    if c < s1 - 1:
+                        cur, _ = bmps._zip_column(T, c, cur, +1)
+                rights = {}
+                cur = [] if s1 == nC else list(entryR)
+                for c in range(s1 - 1, s0 - 1, -1):
+                    rights[c] = cur
+                    if c > s0:
+                        cur, _ = bmps._zip_column(T, c, cur, -1)
+                vals = []
+                for c in range(s0, s1):
+                    got = bmps._ladder_expect(T, c, lefts[c], rights[c], op)
+                    vals.extend(got[v] for v in cp.columns[c])
+                vals = jnp.stack(vals)
+                return jnp.pad(vals, (0, maxnv - vals.shape[0]))
+
+            return f
+
+        left_branches = [mk_left_exit(i) for i in range(D)]
+        right_branches = [mk_right_exit(i) for i in range(D)]
+        band_branches = [mk_band_body(i) for i in range(D)]
+
+        kwargs = dict(mesh=self.mesh, in_specs=(P(), P()), out_specs=P(axis))
+
+        def smap(f):
+            try:  # jax >= 0.8 renamed check_rep -> check_vma
+                return shard_map(f, check_vma=False, **kwargs)
+            except TypeError:
+                return shard_map(f, check_rep=False, **kwargs)
+
+        @smap
+        def run(T, op):
+            d = jax.lax.axis_index(axis)
+            entryL0 = tuple(jnp.zeros(t.shape, t.dtype) for t in tmplL)
+            entryR0 = tuple(jnp.zeros(t.shape, t.dtype) for t in tmplR)
+
+            def relay(t, carry):
+                entryL, entryR = carry
+                exitL = jax.lax.switch(d, left_branches, T, entryL)
+                exitR = jax.lax.switch(d, right_branches, T, entryR)
+                newL = jax.tree.map(lambda x: jax.lax.ppermute(x, axis, fwd), exitL)
+                newR = jax.tree.map(lambda x: jax.lax.ppermute(x, axis, bwd), exitR)
+                return newL, newR
+
+            entryL, entryR = jax.lax.fori_loop(
+                0, D - 1, relay, (entryL0, entryR0)
+            )
+            vals = jax.lax.switch(d, band_branches, T, entryL, entryR, op)
+            return vals[None]  # [1, maxnv] per device -> [D, maxnv] global
+
+        order = [v for (s0, s1) in bands for c in range(s0, s1) for v in cp.columns[c]]
+        counts = [
+            sum(len(cp.columns[c]) for c in range(s0, s1)) for (s0, s1) in bands
+        ]
+        return jax.jit(run), order, counts, maxnv
+
+    def expect_1site(self, opname: str) -> dict:
+        """Ring-parallel boundary-MPS <op_v> for every vertex (compiled
+        counterpart of `expect(..., alg="boundarymps")`, reference
+        `expect.jl:84-112`, sharded per SURVEY §2.8)."""
+        from ..sitetypes import op_matrix
+        from ..utils.transfer import device_get
+
+        if self._fn is None:
+            self._fn = self._build_expect()
+        jfn, order, counts, maxnv = self._fn
+        eng = self.bmps.engine
+        repl = NamedSharding(self.mesh, P())
+        T = {k: jax.device_put(v, repl) for k, v in eng.T.items()}
+        op = jax.device_put(
+            np.asarray(op_matrix(opname, eng.d)).astype(np.dtype(eng.dtype)), repl
+        )
+        vals = np.asarray(device_get(jfn(T, op)))  # [D, maxnv]
+        out = {}
+        k = 0
+        for i, n in enumerate(counts):
+            for j in range(n):
+                out[order[k]] = complex(vals[i, j])
+                k += 1
+        return out
 
 
 class ShardedSampler:
