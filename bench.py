@@ -154,15 +154,27 @@ def bench_chi64_measurement(eng, cache: dict):
     t0 = time.time()
     z16 = be.expect_1site("Z", vertices=verts)
     t_expect = time.time() - t0
-    z24 = BMPSEngine(eng, rank=24).expect_1site("Z", vertices=verts)
+    # rank-24 control runs WITHOUT the subspace power iteration: the extra
+    # per-emit orthonormalization ladder at chi=64/rank=24 pushes the
+    # unrolled sweep program past the remote compile helper's memory
+    # (SIGKILL); the rank-16-vs-24 agreement check is about sketch-width
+    # convergence, which the plain oversampled sketch already measures
+    z24 = BMPSEngine(eng, rank=24, power_iters=0).expect_1site("Z", vertices=verts)
     z_bp = eng.expect_1site("Z")
     # Sampling pays the doubled-layer environment walks PER SAMPLE (the
     # expectation amortizes them over the lattice), so its ranks are set by
     # compute: rank^2 * chi^4-scale flops per cross vertex per sample.
+    # chunk=2: at chi=64 the projected-sweep intermediates are hundreds of
+    # MB PER LIVE SAMPLE and XLA's scheduler keeps several in flight — the
+    # full-width 50-sample vmap asks for ~27 GB and even a 5-wide lax.map
+    # inside one fused program peaked ~19 GB (>16 GB HBM).  The sampler
+    # therefore runs groups as SEPARATE host dispatches against shared
+    # on-device norm boundary MPSes (BMPSSampler._build_group), so peak
+    # HBM is one 2-sample group's working set.
     sam = BMPSSampler(BMPSEngine(eng, rank=8), proj_rank=16)
-    cert = sam.sample_directly_certified(50, seed=0)
+    cert = sam.sample_directly_certified(50, seed=0, chunk=2)
     t0 = time.time()
-    cert = sam.sample_directly_certified(50, seed=1)
+    cert = sam.sample_directly_certified(50, seed=1, chunk=2)
     t_sample = time.time() - t0
     pq = np.array([c["poverq"] for c in cert])
     out = dict(

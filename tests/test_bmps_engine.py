@@ -142,6 +142,32 @@ def test_sampler_poverq_matches_exact_amplitudes():
     assert abs(pq.mean() - nrm / z_bp) / (nrm / z_bp) < 5e-2
 
 
+def test_sampler_chunking_matches_full_vmap():
+    """`chunk=` bounds live samples via lax.map grouping (the chi=64 HBM
+    path); same keys => bit-identical draws and certificates vs the
+    all-at-once vmap, including a group remainder (7 = 2*3 + 1)."""
+    from tnqs.bmps_engine import BMPSSampler
+
+    g = tnqs.named_grid((3, 3))
+    psi0 = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+    bpc = tnqs.BeliefPropagationCache(psi0)
+    layer = [("Rzz", e, 0.7) for e in g.edges()] + [
+        ("Rx", [v], 0.6) for v in g.vertices()
+    ]
+    bpc, _ = tnqs.apply_gates(
+        layer, bpc, apply_kwargs=dict(cutoff=1e-12, maxdim=2, normalize_tensors=True)
+    )
+    eng = LatticeEngine(bpc.network, chi=2)
+    eng.bp_update(maxiter=30)
+    sam = BMPSSampler(BMPSEngine(eng, rank=8), proj_rank=8)
+    full = sam.sample_directly_certified(7, seed=11)
+    chunked = sam.sample_directly_certified(7, seed=11, chunk=3)
+    for a, b in zip(full, chunked):
+        assert a["bitstring"] == b["bitstring"]
+        assert abs(a["poverq"] - b["poverq"]) <= 1e-6 * abs(a["poverq"])
+        assert abs(a["logq"] - b["logq"]) < 1e-5
+
+
 def test_heavyhex_matches_flex_boundarymps():
     """Engine BMPS == flex BMPS on a heavy-hex state with real entanglement."""
     g = tnqs.heavy_hexagonal_lattice(2, 2)

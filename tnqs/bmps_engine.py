@@ -211,6 +211,96 @@ def _rand_trunc_factored(apply_A, apply_Ah, omega: Array, m_shape, keep: int | N
     return Q, C / c_n, jnp.log(jnp.real(c_n))
 
 
+@partial(jax.jit, static_argnames=("budget",))
+def _ladder_transfer_block(G, Ml, Mr, K, B, *, budget: int):
+    """Jitted body of :meth:`BMPSEngine._ladder_transfer` (see there)."""
+    l_dim, r_dim = K.shape[3], K.shape[4]
+    a_dim, A_dim = K.shape[1], K.shape[2]
+    p_dim = G.shape[0]
+    one_cross = (l_dim > 1) != (r_dim > 1)
+    est = (
+        p_dim * G.shape[1] * G.shape[3] * K.shape[0] * A_dim
+        * max(l_dim, r_dim)
+    )
+    if not (one_cross and a_dim * A_dim > 1) or est <= budget // 16:
+        return ceinsum(
+            "pPab,plmq,PrRQ,saAlr,sbBmR->qQAB", G, Ml, Mr, K, B,
+        )
+    pc = max(1, int(budget // max(est // p_dim, 1)))
+    chunks = []
+    for i in range(0, p_dim, pc):
+        Gc = G[i : i + pc]
+        Mlc = Ml[i : i + pc]
+        if r_dim > 1:  # cross bond on the right; l = m = 1
+            T1 = jnp.einsum("pPab,saAr->pPbsAr", Gc, K[:, :, :, 0, :])
+            T2 = jnp.einsum("pPbsAr,PrRQ->pbsARQ", T1, Mr)
+            T3 = jnp.einsum("pbsARQ,sbBR->pAQB", T2, B[:, :, :, 0, :])
+            chunks.append(jnp.einsum("pAQB,pq->qQAB", T3, Mlc[:, 0, 0, :]))
+        else:  # cross bond on the left; r = R = 1
+            T1 = jnp.einsum("pPab,saAl->pPbsAl", Gc, K[..., 0])
+            T2 = jnp.einsum("pPbsAl,plmq->PbsAmq", T1, Mlc)
+            T3 = jnp.einsum("PbsAmq,sbBm->PAqB", T2, B[..., 0])
+            chunks.append(jnp.einsum("PAqB,PQ->qQAB", T3, Mr[:, 0, 0, :]))
+    return sum(chunks[1:], chunks[0])
+
+
+@partial(jax.jit, static_argnames=("budget",))
+def _pass_step_block(C, Min, K, B, *, budget: int):
+    """Non-emit zip step C[q,p,a,b] Min[p,l,m,P] K[s,a,A,l] B[s,b,B,m]
+    -> [q,P,A,B], memory-aware.
+
+    The four tensors form a CLIQUE (every pair shares an index), so any
+    pairwise contraction order materializes an intermediate coupling two
+    chi^2 bond pairs — ~1 GB per live sample at chi=64, which is what
+    kept OOMing the chi=64 sampler while every emit step respected the
+    budget (the memoized-optimal einsum path minimizes FLOPs, not
+    memory).  Fix: chunk the free output bond A — per A-slice the chain
+    C*K -> *Min -> *B peaks at q*p*b*s*l*A_c elements, tunable under
+    `budget` with zero redundant FLOPs (A-slices partition the work)."""
+    q, p, a, b = C.shape
+    s, _, A, l = K.shape
+    m, P = Min.shape[2], Min.shape[3]
+    per_A = max(q * p * b * s * l, q * b * s * m * P)
+    if A * per_A <= budget:
+        return ceinsum("qpab,plmP,saAl,sbBm->qPAB", C, Min, K, B)
+    Ac = max(1, int(budget // max(per_A, 1)))
+    outs = []
+    for i in range(0, A, Ac):
+        T1 = ceinsum("qpab,saAl->qpbsAl", C, K[:, :, i : i + Ac])
+        T2 = ceinsum("qpbsAl,plmP->qbsAmP", T1, Min)
+        outs.append(ceinsum("qbsAmP,sbBm->qPAB", T2, B))
+    return jnp.concatenate(outs, axis=2)
+
+
+@partial(jax.jit, static_argnames=("xc", "keep", "power_iters"))
+def _emit_step_block(C, Min, K, B, omega, *, xc: int, keep: int, power_iters: int):
+    """Jitted emit-vertex step of the zip sweep: the matrix-free
+    randomized factorization of the conceptual step tensor
+    C[q,p,a,b] Min[p,l,m,P] K[s,a,A,l,r] B[s,b,B,m,R] -> [(q,r,R), (P,A,B)]
+    (see `_zip_column`).  Module-level jit: every emit vertex sharing a
+    shape class re-uses one traced body (cold-start lever, verdict
+    item 6)."""
+
+    def apply_A(V):
+        f = lambda Vc: ceinsum(
+            "qpab,plmP,saAlr,sbBmR,PABx->qrRx", C, Min, K, B, Vc,
+        )
+        return _chunk_last(f, V, xc)
+
+    def apply_Ah(W):
+        f = lambda Wc: ceinsum(
+            "qpab,plmP,saAlr,sbBmR,qrRx->PABx",
+            C.conj(), Min.conj(), K.conj(), B.conj(), Wc,
+        )
+        return _chunk_last(f, W, xc)
+
+    q, rk, rb = C.shape[0], K.shape[4], B.shape[4]
+    return _rand_trunc_factored(
+        apply_A, apply_Ah, omega, (q, rk, rb), keep=keep,
+        power_iters=power_iters,
+    )
+
+
 # ----------------------------------------------------------------------
 # the compiled sweep
 # ----------------------------------------------------------------------
@@ -363,21 +453,8 @@ class BMPSEngine:
                 per_x = 2 * max(Ak, 1) * max(Bb, 1) * max(rk, rb, 1) * max(q, P, 1)
                 xc = max(1, int(budget // max(per_x, 1)))
 
-                def apply_A(V, C=C, Min=Min, K=K, B=B):
-                    f = lambda Vc: ceinsum(
-                        "qpab,plmP,saAlr,sbBmR,PABx->qrRx", C, Min, K, B, Vc,
-                    )
-                    return _chunk_last(f, V, xc)
-
-                def apply_Ah(W, C=C, Min=Min, K=K, B=B):
-                    f = lambda Wc: ceinsum(
-                        "qpab,plmP,saAlr,sbBmR,qrRx->PABx",
-                        C.conj(), Min.conj(), K.conj(), B.conj(), Wc,
-                    )
-                    return _chunk_last(f, W, xc)
-
-                Q, Cnew, logn = _rand_trunc_factored(
-                    apply_A, apply_Ah, omega, (q, rk, rb), keep=x,
+                Q, Cnew, logn = _emit_step_block(
+                    C, Min, K, B, omega, xc=xc, keep=x,
                     power_iters=self.power_iters,
                 )
                 logscale = logscale + logn
@@ -386,8 +463,8 @@ class BMPSEngine:
                 last_emit = emit_of[v]
             else:
                 # no emission: r = R = 1; land on [q, P, A, B] directly
-                C = ceinsum(
-                    "qpab,plmP,saAl,sbBm->qPAB", C, Min, K[..., 0], B[..., 0],
+                C = _pass_step_block(
+                    C, Min, K[..., 0], B[..., 0], budget=int(budget),
                 )
                 nrm = jnp.sqrt(jnp.sum(jnp.abs(C) ** 2)) + 1e-30
                 logscale = logscale + jnp.log(jnp.real(nrm))
@@ -414,37 +491,17 @@ class BMPSEngine:
         explicit pairwise order that peaks at rank^2 * chi^3 and is
         chunked over the incoming-MPS bond.  `budget` overrides the module
         intermediate-size budget (the vmapped sampler divides it by the
-        sample batch, which multiplies every intermediate)."""
+        sample batch, which multiplies every intermediate).
+
+        Dispatches to a module-level `jax.jit` block so the ~10-primitive
+        body is traced ONCE per shape class instead of once per vertex per
+        sweep — the outer program records a single call primitive.  On the
+        1-core host, trace overhead (~1.3 ms/primitive) dominated cold
+        start (verdict item 6); a 127-vertex ladder sweep has only a
+        handful of distinct shape classes."""
         if budget is None:
             budget = _EINSUM_BUDGET
-        l_dim, r_dim = K.shape[3], K.shape[4]
-        a_dim, A_dim = K.shape[1], K.shape[2]
-        p_dim = G.shape[0]
-        one_cross = (l_dim > 1) != (r_dim > 1)
-        est = (
-            p_dim * G.shape[1] * G.shape[3] * K.shape[0] * A_dim
-            * max(l_dim, r_dim)
-        )
-        if not (one_cross and a_dim * A_dim > 1) or est <= budget // 16:
-            return ceinsum(
-                "pPab,plmq,PrRQ,saAlr,sbBmR->qQAB", G, Ml, Mr, K, B,
-            )
-        pc = max(1, int(budget // max(est // p_dim, 1)))
-        chunks = []
-        for i in range(0, p_dim, pc):
-            Gc = G[i : i + pc]
-            Mlc = Ml[i : i + pc]
-            if r_dim > 1:  # cross bond on the right; l = m = 1
-                T1 = jnp.einsum("pPab,saAr->pPbsAr", Gc, K[:, :, :, 0, :])
-                T2 = jnp.einsum("pPbsAr,PrRQ->pbsARQ", T1, Mr)
-                T3 = jnp.einsum("pbsARQ,sbBR->pAQB", T2, B[:, :, :, 0, :])
-                chunks.append(jnp.einsum("pAQB,pq->qQAB", T3, Mlc[:, 0, 0, :]))
-            else:  # cross bond on the left; r = R = 1
-                T1 = jnp.einsum("pPab,saAl->pPbsAl", Gc, K[..., 0])
-                T2 = jnp.einsum("pPbsAl,plmq->PbsAmq", T1, Mlc)
-                T3 = jnp.einsum("PbsAmq,sbBm->PAqB", T2, B[..., 0])
-                chunks.append(jnp.einsum("PAqB,PQ->qQAB", T3, Mr[:, 0, 0, :]))
-        return sum(chunks[1:], chunks[0])
+        return _ladder_transfer_block(G, Ml, Mr, K, B, budget=int(budget))
 
     def _ladder_walks(self, T: dict, c: int, L: list, R: list, dt):
         """Shared machinery of the per-column ladder: (step_down, step_up,
@@ -753,10 +810,12 @@ class BMPSSampler:
         Mr = R[r_of[v]] if v in r_of else self._eye_msg(pr, dt)
         return Ml, Mr
 
-    def _step_down(self, U, Ml, Mr, K, B):
-        return BMPSEngine._ladder_transfer(U, Ml, Mr, K, B, budget=self._budget)
+    def _step_down(self, U, Ml, Mr, K, B, budget: int | None = None):
+        return BMPSEngine._ladder_transfer(
+            U, Ml, Mr, K, B, budget=self._budget if budget is None else budget
+        )
 
-    def _step_up(self, D, Ml, Mr, K, B):
+    def _step_up(self, D, Ml, Mr, K, B, budget: int | None = None):
         # down step under the chain/bond axis swap (see _ladder_walks)
         return BMPSEngine._ladder_transfer(
             D,
@@ -764,7 +823,7 @@ class BMPSSampler:
             jnp.transpose(Mr, (3, 1, 2, 0)),
             jnp.transpose(K, (0, 2, 1, 3, 4)),
             jnp.transpose(B, (0, 2, 1, 3, 4)),
-            budget=self._budget,
+            budget=self._budget if budget is None else budget,
         )
 
     @staticmethod
@@ -835,12 +894,14 @@ class BMPSSampler:
         val = U.reshape(())
         return jnp.log(jnp.abs(val) + 1e-30) + ulog
 
-    def _sample_column(self, T, c: int, L: list, R: list, key, dt):
+    def _sample_column(self, T, c: int, L: list, R: list, key, dt,
+                       budget: int | None = None):
         """Sample every vertex of column c top-to-bottom; returns the
         projected vertex tensors, the bits, log q(column), and the LOG of
         the unnormalized trace at the column's first vertex (the
         reference's `traces[1]`, `sampling.jl:241-249`; log space because
-        a 127-site trace underflows f32)."""
+        a 127-site trace underflows f32).  `budget` bounds per-step
+        intermediates (the group width divides the module budget)."""
         be = self.bmps
         col = be.cplan.columns[c]
         l_of, r_of = self._cut_maps(c)
@@ -857,7 +918,9 @@ class BMPSSampler:
             Ml, Mr = self._msgs(
                 v, l_of, r_of, L, R, D[i + 1].shape[0], D[i + 1].shape[1], dt
             )
-            D[i], dl = self._renorm(self._step_up(D[i + 1], Ml, Mr, K, jnp.conj(K)))
+            D[i], dl = self._renorm(
+                self._step_up(D[i + 1], Ml, Mr, K, jnp.conj(K), budget=budget)
+            )
             dlog[i] = dlog[i + 1] + dl
         # downward autoregressive walk
         U = jnp.ones((1, 1, 1, 1), dtype=jnp.float32).astype(dt)
@@ -877,7 +940,8 @@ class BMPSSampler:
                     jnp.real(
                         jnp.sum(
                             self._step_down(
-                                U, Ml, Mr, K[s : s + 1], jnp.conj(K[s : s + 1])
+                                U, Ml, Mr, K[s : s + 1], jnp.conj(K[s : s + 1]),
+                                budget=budget,
                             )
                             * D[i + 1]
                         )
@@ -904,35 +968,61 @@ class BMPSSampler:
             Kp[v] = Kpv
             bits[v] = b
             logq = logq + jnp.log(qv.astype(jnp.float32))
-            U, du = self._renorm(self._step_down(U, Ml, Mr, Kpv, jnp.conj(Kpv)))
+            U, du = self._renorm(
+                self._step_down(U, Ml, Mr, Kpv, jnp.conj(Kpv), budget=budget)
+            )
             ulog = ulog + du
         return Kp, bits, logq, log_tr_first
 
     # -- public API -------------------------------------------------------
-    def _build(self, batch: int = 1):
+    def _build_norm(self):
+        """Trace the sample-INDEPENDENT half of the sampler: the BP norm
+        divisor, the right (norm-network) boundary MPS ladder, and the
+        boundary-MPS norm estimate.  Runs once per `sample_directly_certified`
+        call as its own XLA program; its outputs stay on device and feed
+        every sample-group dispatch."""
         be = self.bmps
-        cp = be.cplan
-        nC = len(cp.columns)
-        self._budget = max(4096, _EINSUM_BUDGET // max(1, batch))
+        nC = len(be.cplan.columns)
 
-        def run(T, M, keys):
+        def run_norm(T, M):
             dt = None
             for arr in T.values():
                 dt = arr.dtype
             # the BP-norm convention divisor (reference: gauge_and_scale)
             log_zbp = self._log_z_bp(T, M)
-            # sample-independent right (norm) boundary MPSes + log scales
             rights: list = [None] * nC
             rlog: list = [None] * nC
             cur: list = []
             acc = jnp.zeros((), dtype=jnp.float32)
             for c in range(nC - 1, -1, -1):
-                rights[c] = cur
+                rights[c] = tuple(cur)
                 rlog[c] = acc
                 if c > 0:
                     cur, ls = be._zip_column(T, c, cur, -1)
                     acc = acc + ls
             norm_log = self._column_norm(T, 0, rights[0], dt) + rlog[0]
+            return tuple(rights), jnp.stack(rlog), log_zbp, norm_log
+
+        return jax.jit(run_norm)
+
+    def _build_group(self, width: int):
+        """Trace one sample GROUP: `width` vmapped autoregressive sweeps
+        against precomputed norm boundary MPSes.  Groups are dispatched
+        sequentially from the host, so peak HBM is ONE group's working set
+        — at chi=64 a full-width 50-sample vmap allocates ~27 GB for a
+        single projected-sweep intermediate class (HBM is 16 GB) and even
+        a 5-wide `lax.map` group inside one fused program peaked ~19 GB
+        because XLA schedules groups' buffers concurrently.  Separate
+        dispatches are how large-chi certified sampling fits one chip."""
+        be = self.bmps
+        cp = be.cplan
+        nC = len(cp.columns)
+        budget = max(4096, _EINSUM_BUDGET // max(1, width))
+
+        def run_group(T, rights, rlog, log_zbp, keys):
+            dt = None
+            for arr in T.values():
+                dt = arr.dtype
 
             def one(key):
                 L: list = []
@@ -942,7 +1032,7 @@ class BMPSSampler:
                 log_tr_last = None
                 for c in range(nC):
                     Kp, bits, lq, log_tr = self._sample_column(
-                        T, c, L, rights[c], key, dt
+                        T, c, L, rights[c], key, dt, budget=budget
                     )
                     logq = logq + lq
                     bits_all.extend(bits[v] for v in cp.columns[c])
@@ -952,7 +1042,7 @@ class BMPSSampler:
                         L, dlog = be._zip_column(
                             T, c, L, +1, rank=self.proj_rank,
                             K_of=lambda v, Kp=Kp: Kp[v],
-                            budget=self._budget,
+                            budget=budget,
                         )
                         llog = llog + dlog
                 # p/q of the full bitstring: the last column's conditionals
@@ -961,25 +1051,47 @@ class BMPSSampler:
                 poverq = log_tr_last + llog + rlog[nC - 1] - log_zbp
                 return jnp.stack(bits_all), logq, jnp.exp(poverq)
 
-            bits, logq, poverq = jax.vmap(one)(keys)
-            return bits, logq, poverq, jnp.exp(norm_log - log_zbp)
+            return jax.vmap(one)(keys)
 
-        return jax.jit(run)
+        return jax.jit(run_group)
 
-    def sample_directly_certified(self, nsamples: int, seed: int = 0):
+    def sample_directly_certified(
+        self, nsamples: int, seed: int = 0, chunk: int | None = None
+    ):
         """Draw `nsamples` bitstrings with on-the-fly p/q certificates.
+
+        `chunk` caps concurrently-live samples: draws run as separate
+        `chunk`-wide dispatches against shared on-device norm boundary
+        MPSes (see `_build_group`) — default is all-at-once.  Draws depend
+        only on each sample's fold_in key, so any chunking yields
+        bit-identical bitstrings and certificates.
 
         Returns a list of dicts with keys ``poverq``, ``logq``,
         ``bitstring`` (vertex -> 0..d-1), mirroring the flex
         `tnqs.sample_directly_certified`."""
         from .utils.transfer import device_get
 
-        if nsamples not in self._fns:
-            self._fns[nsamples] = self._build(batch=nsamples)
+        width = nsamples if chunk is None else max(1, min(int(chunk), nsamples))
+        if "norm" not in self._fns:
+            self._fns["norm"] = self._build_norm()
+        if ("group", width) not in self._fns:
+            self._fns[("group", width)] = self._build_group(width)
+        T, M = self.bmps.engine.T, self.bmps.engine.M
+        rights, rlog, log_zbp, norm_log = self._fns["norm"](T, M)
+        n_hat_dev = jnp.exp(norm_log - log_zbp)
         keys = jax.random.split(jax.random.PRNGKey(seed), nsamples)
-        bits, logq, poverq, n_hat = self._fns[nsamples](
-            self.bmps.engine.T, self.bmps.engine.M, keys
-        )
+        pad = (-nsamples) % width
+        if pad:  # repeat the last key; padded lanes are sliced off below
+            keys = jnp.concatenate([keys, jnp.repeat(keys[-1:], pad, axis=0)])
+        group_fn = self._fns[("group", width)]
+        parts = [
+            group_fn(T, rights, rlog, log_zbp, keys[i : i + width])
+            for i in range(0, nsamples + pad, width)
+        ]
+        bits = jnp.concatenate([p[0] for p in parts])[:nsamples]
+        logq = jnp.concatenate([p[1] for p in parts])[:nsamples]
+        poverq = jnp.concatenate([p[2] for p in parts])[:nsamples]
+        n_hat = n_hat_dev
         bits = np.asarray(device_get(bits))
         logq = np.asarray(device_get(logq))
         poverq = np.asarray(device_get(poverq))

@@ -275,15 +275,23 @@ class ShardedSampler:
         sam = self.sampler
         D = self.mesh.devices.size
         n_pad = -(-nsamples // D) * D  # pad to a multiple of the mesh size
-        if n_pad not in sam._fns:
-            sam._fns[n_pad] = sam._build(batch=n_pad)
-        keys = jax.random.split(jax.random.PRNGKey(seed), n_pad)
-        keys = jax.device_put(keys, NamedSharding(self.mesh, P(self.axis)))
+        if "norm" not in sam._fns:
+            sam._fns["norm"] = sam._build_norm()
+        if ("group", n_pad) not in sam._fns:
+            sam._fns[("group", n_pad)] = sam._build_group(n_pad)
         repl = NamedSharding(self.mesh, P())
         eng = sam.bmps.engine
         T = {k: jax.device_put(v, repl) for k, v in eng.T.items()}
         M = jax.device_put(eng.M, repl)
-        bits, logq, poverq, n_hat = sam._fns[n_pad](T, M, keys)
+        # norm-network boundary MPSes: sample-independent, computed once,
+        # replicated over the mesh (every device reads its local copy)
+        rights, rlog, log_zbp, norm_log = sam._fns["norm"](T, M)
+        n_hat = jnp.exp(norm_log - log_zbp)
+        keys = jax.random.split(jax.random.PRNGKey(seed), n_pad)
+        keys = jax.device_put(keys, NamedSharding(self.mesh, P(self.axis)))
+        bits, logq, poverq = sam._fns[("group", n_pad)](
+            T, rights, rlog, log_zbp, keys
+        )
         bits = np.asarray(device_get(bits))[:nsamples]
         logq = np.asarray(device_get(logq))[:nsamples]
         poverq = np.asarray(device_get(poverq))[:nsamples]
