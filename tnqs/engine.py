@@ -646,6 +646,17 @@ class LatticeEngine:
         self.trunc_method = _os.environ.get("TNQS_TRUNC", "") or default_trunc
         if self.trunc_method not in ("svd", "subspace", "full"):
             raise ValueError(f"unknown trunc_method {self.trunc_method!r}")
+        # Backend for trunc_method="svd": "pjsvd" = the preconditioned
+        # one-sided Jacobi Pallas kernel (`tnqs.ops.osj.pjsvd`) — same
+        # graded/backward-stable error structure as a direct SVD (nothing
+        # squares or divides by a small singular value on the output path)
+        # at a fraction of the cost of XLA's QDWH + spectral
+        # divide-and-conquer; "xla" = jnp.linalg.svd.  "auto" picks pjsvd
+        # on TPU at supported shapes (square even n in [32, 256]), xla
+        # otherwise.  TNQS_SVD_IMPL overrides.
+        self.svd_impl = _os.environ.get("TNQS_SVD_IMPL", "") or "auto"
+        if self.svd_impl not in ("auto", "pjsvd", "xla"):
+            raise ValueError(f"unknown svd_impl {self.svd_impl!r}")
         # Precision of the BP message sweeps, the step's FLOPs hot spot
         # (~70% at chi=64).  None inherits the global policy (highest);
         # "high" (bf16_3x) is ~3x faster per sweep — validated to stay
@@ -1180,7 +1191,19 @@ class LatticeEngine:
                 # amplified by the 1/sqrt(s_min) un-gauge factors; the
                 # direct SVD keeps errors graded the way the flex tier's
                 # LAPACK gesdd does (`scripts/probe_eigh_backends.py`).
-                U, s, Vh = jnp.linalg.svd(theta_mat, full_matrices=False)
+                use_pjsvd = self.svd_impl == "pjsvd" or (
+                    self.svd_impl == "auto"
+                    and jax.default_backend() == "tpu"
+                    and m_ == n_
+                    and m_ % 2 == 0
+                    and 32 <= m_ <= 256
+                )
+                if use_pjsvd:
+                    from .ops.osj import pjsvd
+
+                    U, s, Vh = pjsvd(theta_mat)
+                else:
+                    U, s, Vh = jnp.linalg.svd(theta_mat, full_matrices=False)
                 tail = None
             else:
                 w, V, tail = eig_results[ci]
