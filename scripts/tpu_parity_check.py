@@ -50,6 +50,9 @@ from tnqs.models import heavy_hex_kicked_ising_layer
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trunc", choices=("subspace", "full", "svd"), default=None)
+    ap.add_argument("--svd-impl", choices=("auto", "pjsvd", "xla"), default=None,
+                    help="backend for trunc=svd (pjsvd = preconditioned "
+                    "one-sided Jacobi kernel; xla = jnp.linalg.svd)")
     ap.add_argument("--layers", type=int, default=None)
     ap.add_argument("--out", default=str(GOLDEN / "tpu_parity_chi64.json"))
     args = ap.parse_args()
@@ -66,6 +69,8 @@ def main():
     eng = LatticeEngine(psi, chi=int(cfg["maxdim"]), dtype=jnp.complex64)
     if args.trunc is not None:
         eng.trunc_method = args.trunc
+    if args.svd_impl is not None:
+        eng.svd_impl = args.svd_impl
     step = eng.make_step(layer, cutoff=float(cfg["cutoff"]), bp_maxiter=25)
 
     zc, zb = [], []
@@ -94,6 +99,7 @@ def main():
             factor_method=eng.factor_method,
             env_gauge=eng.env_gauge,
             trunc_method=eng.trunc_method,
+            svd_impl=getattr(eng, "svd_impl", "auto"),
             bp_kernel=eng.bp_kernel,
             bp_schedule=eng.plan.bp_schedule,
             dtype="complex64",

@@ -314,5 +314,14 @@ def pjsvd(
 
     G = jnp.einsum("...ki,...kj->...ij", jnp.conj(A), A)
     _, V0 = jacobi_eigh(G, sweeps=precond_sweeps, interpret=interpret)
+    # Literal NaNs from the preconditioner (the documented two-sided-Jacobi
+    # pathology on rank-deficient spectra) cannot be rotated away — mask
+    # those matrices back to a cold start.  A cold polish is 8e-5-grade on
+    # full-rank spectra but the NaN regime is LOW-rank, where few live
+    # column pairs converge quickly and accurately.
+    n = A.shape[-1]
+    finite = jnp.isfinite(jnp.real(V0)) & jnp.isfinite(jnp.imag(V0)) if jnp.iscomplexobj(V0) else jnp.isfinite(V0)
+    ok = jnp.all(finite, axis=(-2, -1))[..., None, None]
+    V0 = jnp.where(ok, jnp.where(finite, V0, 0), jnp.eye(n, dtype=V0.dtype))
     B0 = jnp.einsum("...ij,...jk->...ik", A, V0)
     return osj_svd(B0, V0, sweeps=polish_sweeps, interpret=interpret)
