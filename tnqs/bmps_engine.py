@@ -738,6 +738,90 @@ class BMPSEngine:
         vals = device_get(jfn(eng.T, op1, op2))
         return {k: complex(vals[i]) for i, k in enumerate(keys)}
 
+    def rdm(self, vertices, normalize: bool = True) -> np.ndarray:
+        """Reduced density matrix on `vertices` (all in one column) via
+        boundary-MPS environments — the compiled counterpart of
+        `tnqs.reduced_density_matrix(..., alg="boundarymps")` (reference
+        `rdm.jl:100-124` / `path_contract`, `boundarympscache.jl:616-667`;
+        like the reference, the vertex set must share a row/column —
+        choose the other partitioning via `column_of`/`row_of` otherwise).
+
+        Returns a [d^k, d^k] ndarray, row = ket multi-index (first vertex
+        slowest), trace-normalized unless `normalize=False`.  Each entry
+        rho[s, t] = <psi| (|t><s| at the k vertices) |psi> / <psi|psi> is
+        one matrix-unit-inserted ladder walk; all d^(2k) walks share the
+        zip sweeps and the prefix/suffix environments inside one compiled
+        program, so k = 1, 2 (the entanglement use cases) cost little more
+        than an `expect` call.  Feed the result to
+        `tnqs.renyi_entropy_matrix` for subsystem entropies."""
+        from itertools import product
+
+        from .utils.transfer import device_get
+
+        eng, cp = self.engine, self.cplan
+        verts = sorted(vertices, key=lambda v: cp.order_in_col[v])
+        if len({cp.col_of[v] for v in verts}) != 1:
+            raise ValueError(
+                f"rdm vertices {verts} span columns; they must share one "
+                "column (choose the other partitioning)"
+            )
+        d = eng.d
+        k = len(verts)
+        if d ** (2 * k) > 256:
+            raise ValueError(
+                f"rdm on {k} sites of dimension {d} needs {d ** (2 * k)} "
+                "matrix-unit walks; keep d^(2k) <= 256"
+            )
+        c = cp.col_of[verts[0]]
+        key = ("rdm", tuple(verts))
+        cache = self._expect_cache
+        if key not in cache:
+            nC = len(cp.columns)
+            orders = [cp.order_in_col[v] for v in verts]
+            lo, hi = orders[0], orders[-1]
+            assign = list(product(range(d), repeat=2 * k))  # (s1..sk, t1..tk)
+
+            def fn(T):
+                cur: list = []
+                for cc in range(c):
+                    cur, _ = self._zip_column(T, cc, cur, +1)
+                L = cur
+                cur = []
+                for cc in range(nC - 1, c, -1):
+                    cur, _ = self._zip_column(T, cc, cur, -1)
+                R = cur
+                dt = None
+                for arr in T.values():
+                    dt = arr.dtype
+                step_down, _, prefixes, suffixes, denom, col = (
+                    self._ladder_walks(T, c, L, R, dt)
+                )
+                op_at = {cp.order_in_col[v]: i for i, v in enumerate(verts)}
+                vals = []
+                for a in assign:
+                    E = {}
+                    for i in range(k):
+                        s, t = a[i], a[k + i]
+                        # <E> with E[t, s] = 1 gives rho[s, t]
+                        m = jnp.zeros((d, d), dtype=jnp.float32)
+                        E[i] = m.at[t, s].set(1.0).astype(dt)
+                    g = prefixes[lo]
+                    for o in range(lo, hi + 1):
+                        g = step_down(g, col[o], E.get(op_at.get(o)))
+                    vals.append(jnp.einsum("qQAB,qQAB->", g, suffixes[hi + 1]))
+                return jnp.stack(vals) / denom
+
+            cache[key] = (jax.jit(fn), assign)
+        jfn, assign = cache[key]
+        vals = np.asarray(device_get(jfn(eng.T)))
+        rho = np.zeros((d,) * (2 * k), dtype=vals.dtype)
+        for a, x in zip(assign, vals):
+            rho[a] = x
+        rho = rho.reshape(d**k, d**k)
+        if normalize:
+            rho = rho / np.trace(rho)
+        return rho
+
 
 # ----------------------------------------------------------------------
 # compiled certified sampling
