@@ -392,3 +392,49 @@ def test_rdm_matches_exact_and_flex():
 
     with pytest.raises(ValueError, match="span columns"):
         be.rdm([cp.columns[0][0], cp.columns[1][0]])
+
+
+def test_sample_certified_independent_matches_direct_and_exact():
+    """Compiled independent certification (single-layer zip of <x|psi>,
+    reference `certify_sample`, `sampling.jl:258-290`): at full rank the
+    independent p/q equals both the draw-time estimate and the exact
+    |<x|psi>|^2 / (Z_BP q(x))."""
+    from tnqs.bmps_engine import BMPSSampler
+    from tnqs.core.tensor import onehot
+    from tnqs.networks import TensorNetwork
+
+    g = tnqs.named_grid((3, 3))
+    psi0 = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+    bpc = tnqs.BeliefPropagationCache(psi0)
+    layer = [("Rzz", e, 0.7) for e in g.edges()] + [
+        ("Rx", [v], 0.6) for v in g.vertices()
+    ]
+    bpc, _ = tnqs.apply_gates(
+        layer, bpc, apply_kwargs=dict(cutoff=1e-12, maxdim=2, normalize_tensors=True)
+    )
+    st = bpc.network
+    s = st.siteinds()
+    z_bp = abs(complex(tnqs.norm_sqr(st, alg="bp")))
+
+    def p_exact(bitstring):
+        proj = {}
+        for v in st.vertices():
+            P = st._adapt_like(onehot(s[v][0], bitstring[v]))
+            proj[v] = st[v] * P
+        amp = tnqs.contract_network(TensorNetwork(proj, st.graph.copy()), alg="exact")
+        return abs(complex(amp)) ** 2
+
+    eng = LatticeEngine(st, chi=2)
+    eng.bp_update(maxiter=30)
+    sam = BMPSSampler(BMPSEngine(eng, rank=8), proj_rank=8)
+    out = sam.sample_certified(8, seed=5, cert_rank=8)
+    for o in out:
+        want = p_exact(o["bitstring"]) / np.exp(o["logq"]) / z_bp
+        assert abs(o["poverq"] - want) / want < 1e-3
+        # independent and direct certificates agree at full rank
+        assert abs(o["poverq"] - o["poverq_direct"]) / want < 1e-3
+    # chunked dispatch reproduces the same certificates
+    chunked = sam.sample_certified(8, seed=5, cert_rank=8, chunk=3)
+    for a, b in zip(out, chunked):
+        assert a["bitstring"] == b["bitstring"]
+        assert abs(a["poverq"] - b["poverq"]) <= 1e-5 * abs(a["poverq"])

@@ -301,6 +301,49 @@ def _emit_step_block(C, Min, K, B, omega, *, xc: int, keep: int, power_iters: in
     )
 
 
+@partial(jax.jit, static_argnames=("budget",))
+def _pass1_step_block(C, Min, K, *, budget: int):
+    """SINGLE-layer non-emit zip step C[q,p,a] Min[p,l,P] K[a,A,l] ->
+    [q,P,A] (no bra layer: the certification sweep contracts the
+    bit-projected ket network <x|psi> directly).  Memory-aware like its
+    doubled-layer sibling: chunk the free down-bond A when the one-shot
+    einsum would exceed `budget` elements."""
+    q, p, a = C.shape
+    _, A, l = K.shape
+    P = Min.shape[2]
+    per_A = max(q * p * l, q * l * P)
+    if A * per_A <= budget:
+        return ceinsum("qpa,plP,aAl->qPA", C, Min, K)
+    Ac = max(1, int(budget // max(per_A, 1)))
+    outs = []
+    for i in range(0, A, Ac):
+        T1 = ceinsum("qpa,aAl->qpAl", C, K[:, i : i + Ac])
+        outs.append(ceinsum("qpAl,plP->qPA", T1, Min))
+    return jnp.concatenate(outs, axis=2)
+
+
+@partial(jax.jit, static_argnames=("xc", "keep", "power_iters"))
+def _emit1_step_block(C, Min, K, omega, *, xc: int, keep: int, power_iters: int):
+    """SINGLE-layer emit-vertex step: randomized factorization of the
+    conceptual step tensor C[q,p,a] Min[p,l,P] K[a,A,l,r] ->
+    [(q,r), (P,A)] without materializing it (certification sweep)."""
+
+    def apply_A(V):
+        f = lambda Vc: ceinsum("qpa,plP,aAlr,PAx->qrx", C, Min, K, Vc)
+        return _chunk_last(f, V, xc)
+
+    def apply_Ah(W):
+        f = lambda Wc: ceinsum(
+            "qpa,plP,aAlr,qrx->PAx", C.conj(), Min.conj(), K.conj(), Wc,
+        )
+        return _chunk_last(f, W, xc)
+
+    q, r = C.shape[0], K.shape[3]
+    return _rand_trunc_factored(
+        apply_A, apply_Ah, omega, (q, r), keep=keep, power_iters=power_iters,
+    )
+
+
 # ----------------------------------------------------------------------
 # the compiled sweep
 # ----------------------------------------------------------------------
@@ -1057,6 +1100,155 @@ class BMPSSampler:
             )
             ulog = ulog + du
         return Kp, bits, logq, log_tr_first
+
+    # -- independent certification (single-layer sweep) --------------------
+    def _zip1_column(self, Kx_of, c: int, incoming: list, rank: int,
+                     budget: int, dt):
+        """SINGLE-layer zip of the bit-projected column c, left-to-right:
+        the certification sweep contracts <x|psi> itself (the reference's
+        `certify_sample` zip-up of the projected network,
+        `sampling.jl:258-285`), so messages carry one bond leg
+        ([chain_in, bond, chain_out]) instead of the norm network's
+        ket/bra pair.  Returns (emitted MPS tensors, accumulated log of
+        dropped norm factors)."""
+        be = self.bmps
+        cp = be.cplan
+        col = cp.columns[c]
+        consume_cut = cp.cross[c - 1] if c > 0 else []
+        emit_cut = cp.cross[c] if c < len(cp.cross) else []
+        consume_of = {e[1]: i for i, e in enumerate(consume_cut)}
+        emit_of = {e[0]: i for i, e in enumerate(emit_cut)}
+        C = jnp.ones((1, 1, 1), dtype=jnp.float32).astype(dt)  # [q, p, a]
+        logscale = jnp.zeros((), dtype=jnp.float32)
+        emitted: list = [None] * len(emit_cut)
+        last_emit = -1
+        for v in col:
+            Kx = Kx_of(v)  # [u(a), d(A), l, r]
+            if v in consume_of:
+                Min = incoming[consume_of[v]]  # [p, l, P]
+            else:
+                p = C.shape[1]
+                Min = jnp.eye(p, dtype=jnp.float32).astype(dt).reshape(p, 1, p)
+            q, P = C.shape[0], Min.shape[2]
+            A, r = Kx.shape[1], Kx.shape[3]
+            if v in emit_of:
+                M_, N_ = q * r, P * A
+                x = min(rank, M_, N_)
+                xs = min(x + be.oversample, M_, N_)
+                code = c * 4096 + 1024 + cp.order_in_col[v]
+                kf = jax.random.fold_in(be._sketch_key(), code)
+                om = jax.random.normal(kf, (2, P, A, xs), dtype=jnp.float32)
+                omega = jax.lax.complex(om[0], om[1]).astype(dt)
+                per_x = 2 * max(A, 1) * max(r, 1) * max(q, P, 1)
+                xc = max(1, int(budget // max(per_x, 1)))
+                Q, Cnew, logn = _emit1_step_block(
+                    C, Min, Kx, omega, xc=xc, keep=x,
+                    power_iters=be.power_iters,
+                )
+                logscale = logscale + logn
+                emitted[emit_of[v]] = Q  # [q, r, x]
+                C = jnp.moveaxis(Cnew, -1, 0)  # [x, P, A]
+                last_emit = emit_of[v]
+            else:
+                C = _pass1_step_block(C, Min, Kx[..., 0], budget=int(budget))
+                nrm = jnp.sqrt(jnp.sum(jnp.abs(C) ** 2)) + 1e-30
+                logscale = logscale + jnp.log(jnp.real(nrm))
+                C = C / nrm
+        if last_emit >= 0:
+            tail = C.reshape(C.shape[0])
+            e = emitted[last_emit]
+            emitted[last_emit] = jnp.einsum("qrx,x->qr", e, tail)[..., None]
+        else:
+            logscale = logscale + jnp.log(jnp.abs(C.reshape(())) + 1e-30)
+        return emitted, logscale
+
+    def _log_abs_amplitude(self, T, bits_row, cert_rank: int, budget: int):
+        """log |<x|psi>| by single-layer boundary-MPS zip sweeps over the
+        bit-projected network (x given as traced ints in keys_order)."""
+        be = self.bmps
+        dt = None
+        for arr in T.values():
+            dt = arr.dtype
+
+        def Kx_of(v):
+            K = be._vertex_tensor(T, v)  # [s, u, d, l, r]
+            oh = jax.nn.one_hot(
+                bits_row[self._vidx[v]], K.shape[0], dtype=jnp.float32
+            ).astype(dt)
+            return jnp.einsum("s,sudlr->udlr", oh, K)
+
+        cur: list = []
+        total = jnp.zeros((), dtype=jnp.float32)
+        for c in range(len(be.cplan.columns)):
+            cur, ls = self._zip1_column(Kx_of, c, cur, cert_rank, budget, dt)
+            total = total + ls
+        return total
+
+    def _build_certify(self, width: int, cert_rank: int):
+        """Trace one certification group: `width` vmapped single-layer
+        sweeps computing p/q = |<x|psi>|^2 / (Z_BP q(x)) per sample."""
+        budget = max(4096, _EINSUM_BUDGET // max(1, width))
+
+        def run_cert(T, M, bits, logq):
+            log_zbp = self._log_z_bp(T, M)
+
+            def one(bits_row, lq):
+                log_amp = self._log_abs_amplitude(T, bits_row, cert_rank, budget)
+                return jnp.exp(2.0 * log_amp - log_zbp - lq)
+
+            return jax.vmap(one)(bits, logq)
+
+        return jax.jit(run_cert)
+
+    def sample_certified(
+        self,
+        nsamples: int,
+        seed: int = 0,
+        cert_rank: int | None = None,
+        chunk: int | None = None,
+    ):
+        """Samples with INDEPENDENTLY-certified p/q — the compiled
+        counterpart of `tnqs.sample_certified` (reference `sample_certified`
+        / `certify_sample`, `/root/reference/src/sampling.jl:164-169,
+        258-290`): draw with the autoregressive sampler, then re-estimate
+        each certificate by a separate single-layer boundary-MPS zip
+        contraction of <x|psi> at bond dimension `cert_rank`
+        (`certification_mps_bond_dimension`; default = `proj_rank`).  The
+        certification shares nothing with the draw beyond the state: an
+        independent check on q(x) and on the projected sweep.
+
+        Returns a list of dicts with ``poverq`` (independent estimate),
+        ``poverq_direct`` (the draw-time estimate), ``logq`` and
+        ``bitstring``; ``E_q[poverq] ~= 1`` in the Z_BP convention."""
+        from .utils.transfer import device_get
+
+        out = self.sample_directly_certified(nsamples, seed=seed, chunk=chunk)
+        cert_rank = self.proj_rank if cert_rank is None else int(cert_rank)
+        width = nsamples if chunk is None else max(1, min(int(chunk), nsamples))
+        key = ("certify", width, cert_rank)
+        if key not in self._fns:
+            self._fns[key] = self._build_certify(width, cert_rank)
+        cert_fn = self._fns[key]
+        T, M = self.bmps.engine.T, self.bmps.engine.M
+        bits = np.array(
+            [[o["bitstring"][v] for v in self.keys_order] for o in out],
+            dtype=np.int32,
+        )
+        logq = np.array([o["logq"] for o in out], dtype=np.float32)
+        pad = (-nsamples) % width
+        if pad:
+            bits = np.concatenate([bits, np.repeat(bits[-1:], pad, axis=0)])
+            logq = np.concatenate([logq, np.repeat(logq[-1:], pad)])
+        parts = [
+            cert_fn(T, M, jnp.asarray(bits[i : i + width]),
+                    jnp.asarray(logq[i : i + width]))
+            for i in range(0, nsamples + pad, width)
+        ]
+        poverq = np.asarray(device_get(jnp.concatenate(parts)))[:nsamples]
+        for o, pq in zip(out, poverq):
+            o["poverq_direct"] = o["poverq"]
+            o["poverq"] = float(pq)
+        return out
 
     # -- public API -------------------------------------------------------
     def _build_norm(self):
