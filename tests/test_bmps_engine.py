@@ -438,3 +438,40 @@ def test_sample_certified_independent_matches_direct_and_exact():
     for a, b in zip(out, chunked):
         assert a["bitstring"] == b["bitstring"]
         assert abs(a["poverq"] - b["poverq"]) <= 1e-5 * abs(a["poverq"])
+
+
+def test_inner_and_fidelity_match_exact():
+    """Compiled bilinear overlap (bra layer from a second state) against
+    exact contraction (reference `inner.jl:71-76` boundary-MPS path)."""
+    g = tnqs.named_grid((3, 3))
+    psi0 = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+
+    def evolve(theta, layers):
+        bpc = tnqs.BeliefPropagationCache(psi0)
+        layer = [("Rzz", e, theta) for e in g.edges()] + [
+            ("Rx", [v], 0.5) for v in g.vertices()
+        ]
+        ak = dict(cutoff=1e-12, maxdim=4, normalize_tensors=True)
+        for _ in range(layers):
+            bpc, _ = tnqs.apply_gates(layer, bpc, apply_kwargs=ak)
+        return bpc.network
+
+    a, b = evolve(0.3, 2), evolve(0.45, 2)
+    # flex/reference convention: inner(psi, phi) has psi as the KET, so
+    # inner(b, a) = <a|b> — the engine's ket=b, bra=a orientation
+    want = complex(tnqs.inner(b, a, alg="exact"))
+    na = abs(complex(tnqs.norm_sqr(a, alg="exact")))
+    nb = abs(complex(tnqs.norm_sqr(b, alg="exact")))
+    f_want = abs(want) ** 2 / (na * nb)
+
+    ea, eb = LatticeEngine(a, chi=4), LatticeEngine(b, chi=4)
+    be = BMPSEngine(eb, rank=10)  # ket = b
+    got = be.inner(ea)
+    assert abs(got - want) / abs(want) < 2e-3
+    f = be.fidelity(ea)
+    assert abs(f - f_want) / f_want < 3e-3
+    # self-fidelity is exactly 1 (same program, same sketches)
+    assert abs(be.fidelity(eb) - 1.0) < 1e-4
+    # norm estimate agrees with the exact norm
+    log_kk, _ = be._log_inner(None)
+    assert abs(np.exp(log_kk) - nb) / nb < 2e-3

@@ -384,11 +384,12 @@ class BMPSEngine:
         return self._key
 
     # -- per-vertex access ------------------------------------------------
-    def _vertex_tensor(self, T: dict, v):
+    def _vertex_tensor(self, T: dict, v, plan=None):
         """Engine row of v reshaped to the uniform [s, up, down, left, right]
-        axis convention (missing bonds become dim-1 axes)."""
+        axis convention (missing bonds become dim-1 axes).  `plan` overrides
+        the bucket lookup (the bilinear `inner` passes the bra engine's)."""
         eng, cp = self.engine, self.cplan
-        plan = eng.plan
+        plan = eng.plan if plan is None else plan
         k, pos = plan.bucket_pos[v]
         A = T[k][pos]  # [d, chi x k]
         roles = []
@@ -414,7 +415,8 @@ class BMPSEngine:
 
     # -- zip-up sweeps ----------------------------------------------------
     def _zip_column(self, T: dict, c: int, incoming: list, direction: int,
-                    rank: int | None = None, K_of=None, budget: int | None = None):
+                    rank: int | None = None, K_of=None, budget: int | None = None,
+                    B_of=None):
         """Zip the incoming boundary MPS through column c.
 
         direction=+1: left-to-right (emit on 'r' bonds, consume on 'l');
@@ -453,9 +455,16 @@ class BMPSEngine:
         last_emit = -1
         for v in col:
             K = self._vertex_tensor(T, v) if K_of is None else K_of(v)  # [s,u,d,l,r]
+            if B_of is None:
+                B = K
+            else:
+                # bilinear sweep: the bra layer comes from ANOTHER state
+                # (compiled `inner`); bond dims may differ from the ket's
+                B = B_of(v)
             if direction < 0:
                 K = jnp.transpose(K, (0, 1, 2, 4, 3))  # swap l <-> r roles
-            B = jnp.conj(K)
+                B = jnp.transpose(B, (0, 1, 2, 4, 3))
+            B = jnp.conj(B)
             if v in consume_of:
                 Min = incoming[consume_of[v]]  # [p, lk, lb, p2]
             else:
@@ -864,6 +873,94 @@ class BMPSEngine:
         if normalize:
             rho = rho / np.trace(rho)
         return rho
+
+    # -- overlaps (compiled BilinearForm path) ------------------------------
+    def _overlap_fn(self, bra_plan):
+        """Jitted (T_ket, T_bra) -> (log|<bra|ket>|, unit phase): left-to-
+        right doubled-layer zip sweeps with the bra layer from the second
+        state, closed by a pass-only walk down the last column (which keeps
+        the complex phase the scalar branch of `_zip_column` drops)."""
+        cp = self.cplan
+        nC = len(cp.columns)
+
+        def fn(T, Tb):
+            dt = None
+            for arr in T.values():
+                dt = arr.dtype
+            B_of = lambda v: self._vertex_tensor(Tb, v, plan=bra_plan)
+            cur: list = []
+            total = jnp.zeros((), dtype=jnp.float32)
+            for c in range(nC - 1):
+                cur, ls = self._zip_column(T, c, cur, +1, B_of=B_of)
+                total = total + ls
+            # final column: consume-only walk, tracking the complex carry
+            c = nC - 1
+            lcut = cp.cross[c - 1] if c > 0 else []
+            l_of = {e[1]: i for i, e in enumerate(lcut)}
+            C = jnp.ones((1, 1, 1, 1), dtype=jnp.float32).astype(dt)
+            for v in cp.columns[c]:
+                K = self._vertex_tensor(T, v)
+                B = jnp.conj(B_of(v))
+                if v in l_of:
+                    Min = cur[l_of[v]]
+                else:
+                    p = C.shape[1]
+                    Min = jnp.eye(p, dtype=jnp.float32).astype(dt).reshape(p, 1, 1, p)
+                C = _pass_step_block(C, Min, K[..., 0], B[..., 0],
+                                     budget=_EINSUM_BUDGET)
+                nrm = jnp.sqrt(jnp.sum(jnp.abs(C) ** 2)) + 1e-30
+                total = total + jnp.log(jnp.real(nrm))
+                C = C / nrm
+            val = C.reshape(())
+            mag = jnp.abs(val) + 1e-30
+            return total + jnp.log(mag), val / mag
+
+        return jax.jit(fn)
+
+    def _log_inner(self, bra: "LatticeEngine | None" = None):
+        """(log |<bra|ket>|, phase) with ket = this engine's state; `bra=None`
+        means <ket|ket> (the boundary-MPS log-norm estimate)."""
+        from .utils.transfer import device_get
+
+        ket = self.engine
+        bra = ket if bra is None else bra
+        if bra.plan.graph is not ket.plan.graph and set(bra.plan.graph.vertices()) != set(
+            ket.plan.graph.vertices()
+        ):
+            raise ValueError("inner needs both states on the same graph")
+        sig = tuple(sorted((k, tuple(a.shape)) for k, a in bra.T.items()))
+        key = ("inner", sig)
+        if key not in self._expect_cache:
+            self._expect_cache[key] = self._overlap_fn(bra.plan)
+        log_abs, phase = self._expect_cache[key](ket.T, bra.T)
+        return float(np.asarray(device_get(log_abs))), complex(
+            np.asarray(device_get(phase))
+        )
+
+    def inner(self, bra: "LatticeEngine") -> complex:
+        """<bra|ket> via boundary-MPS sweeps, ket = this engine's state —
+        the compiled counterpart of `tnqs.inner(ket_state, bra_state,
+        alg="boundarymps")` (reference `inner.jl:71-76` through a
+        `BilinearForm`; note the reference's `inner(psi, phi)` treats PSI
+        as the ket, i.e. returns <phi|psi>, and the flex tier mirrors
+        that).  The value is exact up to MPS-rank truncation; at 100+
+        sites it underflows f32 (engine tensors are per-tensor
+        normalized), so prefer :meth:`fidelity` or :meth:`_log_inner` at
+        scale."""
+        log_abs, phase = self._log_inner(bra)
+        return float(np.exp(log_abs)) * phase
+
+    def fidelity(self, bra: "LatticeEngine") -> float:
+        """|<bra|ket>|^2 / (<bra|bra> <ket|ket>) — normalization-independent
+        overlap, computed entirely in log space (scale-safe at any size)."""
+        log_bk, _ = self._log_inner(bra)
+        log_kk, _ = self._log_inner(None)
+        other = BMPSEngine(
+            bra, rank=self.rank, seed=self._seed,
+            oversample=self.oversample, power_iters=self.power_iters,
+        )
+        log_bb, _ = other._log_inner(None)
+        return float(np.exp(2.0 * log_bk - log_kk - log_bb))
 
 
 # ----------------------------------------------------------------------
