@@ -651,9 +651,14 @@ class LatticeEngine:
         # graded/backward-stable error structure as a direct SVD (nothing
         # squares or divides by a small singular value on the output path)
         # at a fraction of the cost of XLA's QDWH + spectral
-        # divide-and-conquer; "xla" = jnp.linalg.svd.  "auto" picks pjsvd
-        # on TPU at supported shapes (square even n in [32, 256]), xla
-        # otherwise.  TNQS_SVD_IMPL overrides.
+        # divide-and-conquer; "xla" = jnp.linalg.svd.  "auto" currently
+        # resolves to xla everywhere: pjsvd matches the XLA trajectory on
+        # CPU (`tests/test_ops.py`) but Pallas kernels have a record of
+        # CPU-green/TPU-wrong behavior on this backend
+        # (docs/performance.md, "the NaN hunt"), so pjsvd stays opt-in
+        # (TNQS_SVD_IMPL=pjsvd) until an on-chip 10-layer parity artifact
+        # (`scripts/tpu_parity_check.py --trunc svd --svd-impl pjsvd`)
+        # is committed.  TNQS_SVD_IMPL overrides.
         self.svd_impl = _os.environ.get("TNQS_SVD_IMPL", "") or "auto"
         if self.svd_impl not in ("auto", "pjsvd", "xla"):
             raise ValueError(f"unknown svd_impl {self.svd_impl!r}")
@@ -1191,12 +1196,12 @@ class LatticeEngine:
                 # amplified by the 1/sqrt(s_min) un-gauge factors; the
                 # direct SVD keeps errors graded the way the flex tier's
                 # LAPACK gesdd does (`scripts/probe_eigh_backends.py`).
-                use_pjsvd = self.svd_impl == "pjsvd" or (
-                    self.svd_impl == "auto"
-                    and jax.default_backend() == "tpu"
-                    and m_ == n_
-                    and m_ % 2 == 0
-                    and 32 <= m_ <= 256
+                # "auto" -> xla until the pjsvd on-chip parity artifact is
+                # committed (see the svd_impl comment in __init__); the
+                # explicit opt-in covers the shapes the kernel supports
+                # (square, even n) and falls back to xla elsewhere.
+                use_pjsvd = (
+                    self.svd_impl == "pjsvd" and m_ == n_ and m_ % 2 == 0
                 )
                 if use_pjsvd:
                     from .ops.osj import pjsvd
