@@ -64,6 +64,22 @@ if _cache_dir:
     except AttributeError:  # older jax without the persistent cache
         pass
 
+# The deployment environment may pin JAX_PLATFORMS to a tunneled-TPU
+# backend ("axon") that a sitecustomize hook registers only when
+# PALLAS_AXON_POOL_IPS is set.  With the variable unset/empty the platform
+# list still names the unregistered backend, and the first backend query
+# (`jax.default_backend()` in `tnqs.engine`) raises "Backend 'axon' is not
+# in the list of known backends" instead of falling back.  Drop the dead
+# entry here so `PALLAS_AXON_POOL_IPS= python examples/...` runs on CPU
+# without per-script boilerplate (tests/conftest.py pins CPU outright).
+if not _os.environ.get("PALLAS_AXON_POOL_IPS"):
+    import jax as _jax
+
+    _plats = str(_jax.config.jax_platforms or _os.environ.get("JAX_PLATFORMS", ""))
+    if "axon" in _plats.split(","):
+        _rest = ",".join(p for p in _plats.split(",") if p and p != "axon")
+        _jax.config.update("jax_platforms", _rest or None)
+
 # -- core tensor layer --------------------------------------------------
 from .core.index import Index, noprime, prime, sim
 from .core.tensor import (
