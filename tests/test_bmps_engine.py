@@ -302,6 +302,17 @@ def test_ladder_transfer_explicit_matches_generic():
             )
             scale = float(jnp.max(jnp.abs(ref_up)))
             assert float(jnp.max(jnp.abs(ref_up - out_up))) < 1e-5 * scale
+        # BOTH cross bonds (square-grid interior vertices): the blocked
+        # two-cross path must match the generic contraction
+        l = r = 8
+        G, Ml, Mr = t(p, P, chi, chi), t(p, l, l, q), t(P, r, r, Q)
+        K, B = t(s, chi, chi, l, r), t(s, chi, chi, l, r)
+        ref = jnp.einsum(
+            "pPab,plmq,PrRQ,saAlr,sbBmR->qQAB", G, Ml, Mr, K, B, optimize=True
+        )
+        out = BE.BMPSEngine._ladder_transfer(G, Ml, Mr, K, B)
+        scale = float(jnp.max(jnp.abs(ref)))
+        assert float(jnp.max(jnp.abs(ref - out))) < 1e-5 * scale
     finally:
         BE._EINSUM_BUDGET = old
 
@@ -352,6 +363,19 @@ def test_expect_2site_matches_exact():
     far = be.expect_2site("Z", "X", pairs=[(col[0], col[-1])])
     want = complex(tnqs.expect(st, (("Z", "X"), [col[0], col[-1]]), alg="exact"))
     assert abs(list(far.values())[0].real - want.real) < 3e-3
+    # duplicates and BOTH orientations in one call: results keyed by the
+    # caller's orientation, and the two orientations are distinct
+    # observables (<Z_u X_w> vs <Z_w X_u>) when the operators differ
+    u, w = col[0], col[-1]
+    both = be.expect_2site("Z", "X", pairs=[(u, w), (w, u), (u, w)])
+    assert set(both) == {(u, w), (w, u)}
+    want_rev = complex(tnqs.expect(st, (("Z", "X"), [w, u]), alg="exact"))
+    assert abs(both[(u, w)].real - want.real) < 3e-3
+    assert abs(both[(w, u)].real - want_rev.real) < 3e-3
+    # same-vertex pair inserts the operator product: <Z_v X_v> = i <Y_v>
+    same = be.expect_2site("Z", "X", pairs=[(u, u)])
+    want_y = complex(tnqs.expect(st, ("Y", [u]), alg="exact"))
+    assert abs(same[(u, u)] - 1j * want_y) < 3e-3
     with pytest.raises(ValueError, match="spans columns"):
         be.expect_2site("Z", "Z", pairs=[(cp.columns[0][0], cp.columns[1][0])])
 

@@ -211,6 +211,67 @@ def _rand_trunc_factored(apply_A, apply_Ah, omega: Array, m_shape, keep: int | N
     return Q, C / c_n, jnp.log(jnp.real(c_n))
 
 
+def _ladder_transfer_two_cross(G, Ml, Mr, K, B, budget: int):
+    """Blocked ladder step for vertices with BOTH left and right cross
+    bonds (square-grid column interiors), where every pairwise order of
+    the 5-tensor clique materializes a rank^2 * chi^4 intermediate (34 GB
+    at chi=64 / rank 16 — over HBM).
+
+    Chunks the two OUTPUT bonds A (ket down) and B (bra down) and the
+    contracted bra up-bond b; per (A, B) block an inner fori_loop
+    accumulates partial sums over b-chunks through a fixed pairwise chain
+    whose peak is ~rank^2 * chi^2 * chunk^2 elements — tunable under
+    `budget` with zero redundant FLOPs (chunked axes partition the work).
+    Nested lax.map/fori_loop keeps the traced program a handful of
+    primitives regardless of the chunk counts."""
+    p_dim, P_dim = G.shape[0], G.shape[1]
+    s_dim, a_dim, A_dim, l_dim, r_dim = K.shape
+    b_dim, B_dim = B.shape[1], B.shape[2]
+    m_dim, q_dim = Ml.shape[2], Ml.shape[3]
+    R_dim, Q_dim = Mr.shape[2], Mr.shape[3]
+    dt = jnp.result_type(G, Ml, Mr, K, B)
+
+    # peak intermediate sizes per unit of (cA*cb), (cA*cb), (cA*cB)
+    per1 = p_dim * P_dim * s_dim * l_dim * r_dim
+    per2 = P_dim * s_dim * r_dim * m_dim * q_dim
+    per3 = P_dim * r_dim * q_dim * R_dim
+    c = max(1, int(np.sqrt(budget / max(per1, per2, per3, 1))))
+    cA, cB, cb = min(c, A_dim), min(c, B_dim), min(c, b_dim)
+    nA = -(-A_dim // cA)
+    nB = -(-B_dim // cB)
+    nb = -(-b_dim // cb)
+    # zero-pad: output-axis padding is sliced off below; padding the
+    # contracted b contributes exact zeros to the partial sums
+    Kp = jnp.pad(K, [(0, 0), (0, 0), (0, nA * cA - A_dim), (0, 0), (0, 0)])
+    Bp = jnp.pad(
+        B, [(0, 0), (0, nb * cb - b_dim), (0, nB * cB - B_dim), (0, 0), (0, 0)]
+    )
+    Gp = jnp.pad(G, [(0, 0), (0, 0), (0, 0), (0, nb * cb - b_dim)])
+
+    def block(idx):
+        iA, iB = idx // nB, idx % nB
+        Kc = jax.lax.dynamic_slice_in_dim(Kp, iA * cA, cA, 2)
+        Bc = jax.lax.dynamic_slice_in_dim(Bp, iB * cB, cB, 2)
+
+        def body(ib, acc):
+            Gc = jax.lax.dynamic_slice_in_dim(Gp, ib * cb, cb, 3)
+            Bcb = jax.lax.dynamic_slice_in_dim(Bc, ib * cb, cb, 1)
+            T1 = jnp.einsum("pPab,saAlr->pPbsAlr", Gc, Kc)
+            T2 = jnp.einsum("pPbsAlr,plmq->PbsArmq", T1, Ml)
+            T3 = jnp.einsum("PbsArmq,sbBmR->PArqBR", T2, Bcb)
+            return acc + jnp.einsum("PArqBR,PrRQ->qQAB", T3, Mr)
+
+        out0 = jnp.zeros((q_dim, Q_dim, cA, cB), dtype=dt)
+        return jax.lax.fori_loop(0, nb, body, out0)
+
+    blocks = jax.lax.map(block, jnp.arange(nA * nB, dtype=jnp.int32))
+    out = blocks.reshape(nA, nB, q_dim, Q_dim, cA, cB)
+    out = out.transpose(2, 3, 0, 4, 1, 5).reshape(
+        q_dim, Q_dim, nA * cA, nB * cB
+    )
+    return out[:, :, :A_dim, :B_dim]
+
+
 @partial(jax.jit, static_argnames=("budget",))
 def _ladder_transfer_block(G, Ml, Mr, K, B, *, budget: int):
     """Jitted body of :meth:`BMPSEngine._ladder_transfer` (see there)."""
@@ -218,6 +279,15 @@ def _ladder_transfer_block(G, Ml, Mr, K, B, *, budget: int):
     a_dim, A_dim = K.shape[1], K.shape[2]
     p_dim = G.shape[0]
     one_cross = (l_dim > 1) != (r_dim > 1)
+    if l_dim > 1 and r_dim > 1 and a_dim * A_dim > 1:
+        # two cross bonds (square-grid interior vertices): the generic
+        # einsum peaks at rank^2 chi^4 — route to the blocked path when
+        # a conservative proxy of that peak exceeds the budget
+        est2 = (
+            p_dim * Ml.shape[3] * a_dim * A_dim * l_dim * r_dim * K.shape[0]
+        )
+        if est2 > budget:
+            return _ladder_transfer_two_cross(G, Ml, Mr, K, B, budget)
     est = (
         p_dim * G.shape[1] * G.shape[3] * K.shape[0] * A_dim
         * max(l_dim, r_dim)
@@ -641,14 +711,21 @@ class BMPSEngine:
         for (v1, v2) in pairs:
             i, j = cp.order_in_col[v1], cp.order_in_col[v2]
             if i > j:
-                (v1, v2), (i, j) = (v2, v1), (j, i)
-                o1, o2 = op2, op1
+                # walk top-down with the operators swapped; single-site ops
+                # at distinct vertices commute, so the value is unchanged.
+                # Keyed by the CALLER's orientation (v1, v2) throughout.
+                (i, j), (o1, o2) = (j, i), (op2, op1)
             else:
                 o1, o2 = op1, op2
-            g = step_down(prefixes[i], col[i], o1)
-            for t in range(i + 1, j):
-                g = step_down(g, col[t])
-            g = step_down(g, col[j], o2)
+            if i == j:
+                # both operators on one vertex: insert the operator product
+                # (op acts as <t|op|s> on the ket, so O = op1 @ op2)
+                g = step_down(prefixes[i], col[i], op1 @ op2)
+            else:
+                g = step_down(prefixes[i], col[i], o1)
+                for t in range(i + 1, j):
+                    g = step_down(g, col[t])
+                g = step_down(g, col[j], o2)
             numer = jnp.einsum("qQAB,qQAB->", g, suffixes[j + 1])
             out[(v1, v2)] = numer / denom
         return out
@@ -736,7 +813,10 @@ class BMPSEngine:
                 for (u, w) in eng.plan.graph.edges()
                 if cp.col_of[u] == cp.col_of[w]
             ]
-        pairs = [tuple(p) for p in pairs]
+        # dedup + deterministic order; results are keyed by the caller's
+        # orientation, so (u, w) and (w, u) are distinct entries (they are
+        # distinct observables when the two operators differ)
+        pairs = sorted({tuple(p) for p in pairs})
         by_col: dict = {}
         for (u, w) in pairs:
             if cp.col_of[u] != cp.col_of[w]:
@@ -778,11 +858,9 @@ class BMPSEngine:
                 _, vals = fn(T, op1, op2)
                 return vals
 
-            keys = sorted(
-                (v1, v2) if cp.order_in_col[v1] <= cp.order_in_col[v2] else (v2, v1)
-                for (v1, v2) in pairs
-            )
-            cache[key] = (jax.jit(wrapped), keys)
+            # _ladder_expect_pairs keys by the caller's orientation, and fn
+            # stacks sorted(vals.keys()) — which is exactly sorted(pairs)
+            cache[key] = (jax.jit(wrapped), list(pairs))
         jfn, keys = cache[key]
         dt = np.dtype(eng.dtype)
         op1 = device_put(np.asarray(op_matrix(opname_u, eng.d)).astype(dt))
@@ -928,8 +1006,17 @@ class BMPSEngine:
             ket.plan.graph.vertices()
         ):
             raise ValueError("inner needs both states on the same graph")
+        # key on the bra's vertex->slot layout (bucket_pos), not just tensor
+        # shapes: two bras with identical bucket shapes but different plans
+        # must not share the compiled fn, whose closure bakes the layout in
         sig = tuple(sorted((k, tuple(a.shape)) for k, a in bra.T.items()))
-        key = ("inner", sig)
+        layout = tuple(
+            sorted(
+                (v, kp, tuple(bra.plan.neighbor_order[v]))
+                for v, kp in bra.plan.bucket_pos.items()
+            )
+        )
+        key = ("inner", sig, layout)
         if key not in self._expect_cache:
             self._expect_cache[key] = self._overlap_fn(bra.plan)
         log_abs, phase = self._expect_cache[key](ket.T, bra.T)
@@ -952,14 +1039,28 @@ class BMPSEngine:
 
     def fidelity(self, bra: "LatticeEngine") -> float:
         """|<bra|ket>|^2 / (<bra|bra> <ket|ket>) — normalization-independent
-        overlap, computed entirely in log space (scale-safe at any size)."""
+        overlap, computed entirely in log space (scale-safe at any size).
+
+        The bra's norm engine is memoized per bra object (bounded cache),
+        so per-layer fidelity tracking pays the <bra|bra> sweep's tracing
+        once, not once per call."""
         log_bk, _ = self._log_inner(bra)
         log_kk, _ = self._log_inner(None)
-        other = BMPSEngine(
-            bra, rank=self.rank, seed=self._seed,
-            oversample=self.oversample, power_iters=self.power_iters,
-        )
-        log_bb, _ = other._log_inner(None)
+        cache = getattr(self, "_bra_engines", None)
+        if cache is None:
+            cache = self._bra_engines = {}
+        ent = cache.get(id(bra))
+        if ent is None or ent[0] is not bra:
+            if len(cache) >= 4:  # bound growth; entries pin their bra alive
+                cache.pop(next(iter(cache)))
+            cache[id(bra)] = ent = (
+                bra,
+                BMPSEngine(
+                    bra, rank=self.rank, seed=self._seed,
+                    oversample=self.oversample, power_iters=self.power_iters,
+                ),
+            )
+        log_bb, _ = ent[1]._log_inner(None)
         return float(np.exp(2.0 * log_bk - log_kk - log_bb))
 
 
@@ -1378,7 +1479,7 @@ class BMPSSampler:
 
         return jax.jit(run_norm)
 
-    def _build_group(self, width: int):
+    def _build_group(self, width: int, local_width: int | None = None):
         """Trace one sample GROUP: `width` vmapped autoregressive sweeps
         against precomputed norm boundary MPSes.  Groups are dispatched
         sequentially from the host, so peak HBM is ONE group's working set
@@ -1386,11 +1487,17 @@ class BMPSSampler:
         single projected-sweep intermediate class (HBM is 16 GB) and even
         a 5-wide `lax.map` group inside one fused program peaked ~19 GB
         because XLA schedules groups' buffers concurrently.  Separate
-        dispatches are how large-chi certified sampling fits one chip."""
+        dispatches are how large-chi certified sampling fits one chip.
+
+        `local_width` sizes the einsum budget: when the vmap axis is
+        SHARDED over a mesh (ShardedSampler) each device holds only
+        width / n_devices lanes, so the per-lane chunking divides the
+        budget by the per-device count, not the global one."""
         be = self.bmps
         cp = be.cplan
         nC = len(cp.columns)
-        budget = max(4096, _EINSUM_BUDGET // max(1, width))
+        lanes = width if local_width is None else local_width
+        budget = max(4096, _EINSUM_BUDGET // max(1, lanes))
 
         def run_group(T, rights, rlog, log_zbp, keys):
             dt = None

@@ -637,8 +637,6 @@ class LatticeEngine:
         #   saturated spectra defeat subspace capture, so use it when
         #   throughput matters more than trajectory parity.
         # "full" = exact batched eigh of the Gram (CPU default: LAPACK).
-        import os as _os
-
         if jax.default_backend() == "tpu" and self.factor_method == "gram":
             default_trunc = "svd"
         else:
@@ -911,7 +909,7 @@ class LatticeEngine:
         if self.factor_method == "gram":
             from .ops.factorizations import default_eigh
 
-            eigh_fn = default_eigh(chi)
+            eigh_fn = default_eigh(self.chi)
         W, Winv = _pseudo_sqrt_roots(envs, self.sqrt_cutoff, eigh_fn=eigh_fn)
         Q, Rfac = self._reduce_with(A, W, k)
         return Q, Rfac, Winv

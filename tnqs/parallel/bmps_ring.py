@@ -277,8 +277,13 @@ class ShardedSampler:
         n_pad = -(-nsamples // D) * D  # pad to a multiple of the mesh size
         if "norm" not in sam._fns:
             sam._fns["norm"] = sam._build_norm()
-        if ("group", n_pad) not in sam._fns:
-            sam._fns[("group", n_pad)] = sam._build_group(n_pad)
+        # each device holds only n_pad / D lanes of the sharded vmap, so
+        # the einsum budget divides by the per-device count (keyed apart
+        # from the single-device program of the same width)
+        if ("group", n_pad, D) not in sam._fns:
+            sam._fns[("group", n_pad, D)] = sam._build_group(
+                n_pad, local_width=n_pad // D
+            )
         repl = NamedSharding(self.mesh, P())
         eng = sam.bmps.engine
         T = {k: jax.device_put(v, repl) for k, v in eng.T.items()}
@@ -289,7 +294,7 @@ class ShardedSampler:
         n_hat = jnp.exp(norm_log - log_zbp)
         keys = jax.random.split(jax.random.PRNGKey(seed), n_pad)
         keys = jax.device_put(keys, NamedSharding(self.mesh, P(self.axis)))
-        bits, logq, poverq = sam._fns[("group", n_pad)](
+        bits, logq, poverq = sam._fns[("group", n_pad, D)](
             T, rights, rlog, log_zbp, keys
         )
         bits = np.asarray(device_get(bits))[:nsamples]

@@ -506,13 +506,16 @@ class HaloStepEngine:
 
     def halo_bytes_per_layer(self, circuit, bp_maxiter: int = 30,
                              bp_inner_maxiter: int = 2) -> dict:
-        """Per-device ICI traffic of ONE executed layer of `make_step`.
+        """Per-device ICI traffic of ONE layer of `make_step`, worst case.
 
         Walks the same compiled program the step executes and sums the
-        byte sizes of every `ppermute` buffer (static shapes — this is the
-        exact traffic of the compiled step, not a geometric estimate):
-        BP halo messages per (sweep, stage) and the ghost-tensor/message
-        exchanges before each two-site group."""
+        byte sizes of every `ppermute` buffer (static shapes, not a
+        geometric estimate).  The gate-exchange bytes are exact; the BP
+        bytes are an UPPER BOUND — each BP refresh runs a `lax.while_loop`
+        with a tolerance early-exit, so `bp_sweeps` counts the iteration
+        caps (`bp_refreshes * bp_inner_maxiter + bp_maxiter`), and a
+        near-converged state that exits early moves fewer halo bytes than
+        reported here."""
         eng, hp = self.engine, self.hplan
         sp = self._ensure_plan(circuit)
         chi = eng.chi
