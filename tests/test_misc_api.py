@@ -151,3 +151,30 @@ def test_edge_color_bipartite_is_optimal_and_k_contract():
     assert len(tnqs.edge_color(c5)) == 3
     with pytest.raises(ValueError):
         tnqs.edge_color(c5, 2)
+
+
+def test_map_virtualinds_preserves_state():
+    """map_virtualinds with a sim() map detaches index identity but leaves
+    every physical quantity unchanged (reference `map_virtualinds`,
+    `abstracttensornetwork.jl:93-107`)."""
+    rng = np.random.default_rng(3)
+    g = tnqs.named_grid((2, 2))
+    psi = tnqs.random_tensornetworkstate(g, "S=1/2", bond_dimension=2, rng=rng)
+    mapped = psi.map_virtualinds(lambda inds: [i.sim() for i in inds])
+    # same norm, same observables
+    assert abs(
+        tnqs.norm_sqr(psi, alg="exact") - tnqs.norm_sqr(mapped, alg="exact")
+    ) < 1e-10
+    v = psi.vertices()[0]
+    assert abs(
+        tnqs.expect(psi, ("Z", v), alg="exact")
+        - tnqs.expect(mapped, ("Z", v), alg="exact")
+    ) < 1e-10
+    # virtual indices are now disjoint from the original's
+    for e in psi.edges():
+        old = set(psi.virtualinds(e))
+        assert not old & set(mapped.virtualinds(e))
+    # original untouched
+    assert all(psi.virtualinds(e) for e in psi.edges())
+    with pytest.raises(ValueError, match="same-dimension"):
+        psi.map_virtualinds(lambda inds: [Index(7, "bad") for _ in inds])

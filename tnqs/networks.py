@@ -168,6 +168,30 @@ class TensorNetwork:
             out.set_preserve(v, f(out[v]))
         return out
 
+    def map_virtualinds(self, f: Callable[[list], list]) -> "TensorNetwork":
+        """Apply `f` to each edge's virtual-index list and substitute the
+        result in BOTH endpoint tensors (reference `map_virtualinds(!)`,
+        `src/TensorNetworks/abstracttensornetwork.jl:93-107`).
+
+        `f` takes the list of shared indices of one edge and returns
+        same-length, same-dimension replacements — e.g.
+        `lambda inds: [i.sim() for i in inds]` to detach a copy of the
+        network from index identity with the original."""
+        out = self.copy()
+        for e in out.edges():
+            old = out.virtualinds(e)
+            new = list(f(list(old)))
+            if len(new) != len(old) or any(
+                a.dim != b.dim for a, b in zip(old, new)
+            ):
+                raise ValueError(
+                    "map_virtualinds must return one same-dimension index "
+                    "per input index"
+                )
+            out.set_preserve(e[0], out[e[0]].replaceinds(old, new))
+            out.set_preserve(e[1], out[e[1]].replaceinds(old, new))
+        return out
+
     def adapt(self, dtype=None, backend: str | None = None, device=None) -> "TensorNetwork":
         """Move/convert all tensors (reference `Adapt.adapt_structure`,
         `abstracttensornetwork.jl:71-73`)."""
