@@ -1182,6 +1182,40 @@ class LatticeEngine:
                 )
                 ofs += b
 
+        # phase 3b (direct path): ONE SVD dispatch per theta shape — same
+        # dedup the Gram bank does for eigh; per-item results are identical
+        # (batched SVD is elementwise over the batch), but same-shape gate
+        # classes stop paying separate dispatch + compilation units
+        svd_results: dict = {}
+        if self.trunc_method == "svd":
+            svd_bank: dict = {}
+            for ci, (cls, theta_mat, *_rest) in enumerate(mids):
+                svd_bank.setdefault(theta_mat.shape[1:], []).append(
+                    (ci, theta_mat)
+                )
+            for (m_, n_), items in svd_bank.items():
+                Ts = jnp.concatenate([t for (_, t) in items], axis=0)
+                use_pjsvd = (
+                    self.svd_impl == "pjsvd" and m_ == n_ and m_ % 2 == 0
+                )
+                if use_pjsvd:
+                    from .ops.osj import pjsvd
+
+                    U_all, s_all, Vh_all = pjsvd(Ts)
+                else:
+                    U_all, s_all, Vh_all = jnp.linalg.svd(
+                        Ts, full_matrices=False
+                    )
+                ofs = 0
+                for (ci, t) in items:
+                    b = t.shape[0]
+                    svd_results[ci] = (
+                        U_all[ofs : ofs + b],
+                        s_all[ofs : ofs + b],
+                        Vh_all[ofs : ofs + b],
+                    )
+                    ofs += b
+
         # phase 4: complete the SVD algebra, truncate, write back
         for ci, (cls, theta_mat, recomb_u, recomb_v, Winv_u, Winv_v, ru, rv, Bn) in enumerate(mids):
             m_, n_ = ru * d, rv * d
@@ -1198,15 +1232,8 @@ class LatticeEngine:
                 # committed (see the svd_impl comment in __init__); the
                 # explicit opt-in covers the shapes the kernel supports
                 # (square, even n) and falls back to xla elsewhere.
-                use_pjsvd = (
-                    self.svd_impl == "pjsvd" and m_ == n_ and m_ % 2 == 0
-                )
-                if use_pjsvd:
-                    from .ops.osj import pjsvd
-
-                    U, s, Vh = pjsvd(theta_mat)
-                else:
-                    U, s, Vh = jnp.linalg.svd(theta_mat, full_matrices=False)
+                # Computed shape-batched in phase 3b above.
+                U, s, Vh = svd_results[ci]
                 tail = None
             else:
                 w, V, tail = eig_results[ci]
