@@ -246,3 +246,22 @@ def test_layers_per_call_matches_sequential():
             np.asarray(T3[k]), np.asarray(T[k]), rtol=0, atol=1e-6
         )
     np.testing.assert_allclose(np.asarray(M3), np.asarray(M), rtol=0, atol=1e-6)
+
+
+def test_engine_bond_entropies_match_flex(tfim_setup):
+    """Compiled per-bond entropies (batched eigensolve over the on-device
+    messages) against the flex tier's message-based bond entropy on the
+    same converged cache — identical messages, identical spectra."""
+    g, psi, layer = tfim_setup
+    eng = LatticeEngine(psi, chi=4, dtype=jnp.complex128)
+    eng.bp_update(maxiter=25)
+    eng.evolve(layer, num_layers=2, cutoff=1e-10, bp_maxiter=25)
+    s1 = eng.bond_entropies(alpha=1.0)
+    s2 = eng.bond_entropies(alpha=2.0)
+    bpc = eng.to_bp_cache()
+    for e in g.edges():
+        want1 = tnqs.renyi_entropy(bpc, e, alpha=1)
+        want2 = tnqs.renyi_entropy(bpc, e, alpha=2)
+        assert abs(s1[e] - want1) < 1e-8, (e, s1[e], want1)
+        assert abs(s2[e] - want2) < 1e-8, (e, s2[e], want2)
+        assert 0.0 <= s1[e] < np.log(4) + 1e-9  # chi=4 bond

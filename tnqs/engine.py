@@ -1624,6 +1624,51 @@ class LatticeEngine:
                 result[e] = complex(x)
         return result
 
+    @partial(jax.jit, static_argnums=(0,))
+    def _bond_spectra(self, M: Array, idx1: Array, idx2: Array) -> Array:
+        """Eigenvalues of rho_e = sqrt(m_rev) m_fwd sqrt(m_rev) for a batch
+        of bonds — similar to m_fwd m_rev, i.e. the bond RDM spectrum the
+        reference reads off the BP fixed point (`entanglement.jl:73-86`)."""
+        m1 = M[idx1]
+        m2 = M[idx2]
+        m1 = 0.5 * (m1 + jnp.conj(jnp.swapaxes(m1, -1, -2)))
+        m2 = 0.5 * (m2 + jnp.conj(jnp.swapaxes(m2, -1, -2)))
+        w2, V2 = jnp.linalg.eigh(m2)
+        root = jnp.sqrt(jnp.clip(jnp.real(w2), 0.0, None))
+        W2 = jnp.einsum(
+            "eij,ej,ekj->eik", V2, root.astype(V2.dtype), jnp.conj(V2)
+        )
+        rho = jnp.einsum("eij,ejk,ekl->eil", W2, m1, W2)
+        rho = 0.5 * (rho + jnp.conj(jnp.swapaxes(rho, -1, -2)))
+        return jnp.linalg.eigvalsh(rho)
+
+    def bond_entropies(self, alpha: float = 1.0, edges=None) -> dict:
+        """Per-bond Renyi entanglement entropies straight from the
+        converged on-device BP messages — no RDM, one batched compiled
+        eigensolve for all bonds.  The engine counterpart of
+        `tnqs.renyi_entropy(bpc, edge)` (reference bond entropy from
+        messages, `/root/reference/src/entanglement.jl:73-86`); alpha=1 is
+        the von Neumann limit.  Returns {edge: entropy}."""
+        plan = self.plan
+        if edges is None:
+            edges = list(plan.graph.edges())
+        idx1 = np.array([plan.edge_ids[(u, v)] for (u, v) in edges], np.int32)
+        idx2 = np.array([plan.edge_ids[(v, u)] for (u, v) in edges], np.int32)
+        lam = np.real(
+            np.asarray(_device_get(self._bond_spectra(self.M, idx1, idx2)))
+        )
+        out = {}
+        for e, lams in zip(edges, lam):
+            lams = lams / np.sum(lams)  # trace-normalize (flex semantics)
+            lams = lams[np.abs(lams) > 10 * np.finfo(lams.dtype).eps]
+            if alpha == 1:
+                out[tuple(e)] = float(-np.sum(lams * np.log(lams)))
+            else:
+                out[tuple(e)] = float(
+                    np.log(np.sum(lams**alpha)) / (1 - alpha)
+                )
+        return out
+
 
 def default_engine_tolerance(dtype) -> float:
     if np.zeros((), np.dtype(dtype)).real.dtype == np.float32:
