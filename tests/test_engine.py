@@ -265,3 +265,18 @@ def test_engine_bond_entropies_match_flex(tfim_setup):
         assert abs(s1[e] - want1) < 1e-8, (e, s1[e], want1)
         assert abs(s2[e] - want2) < 1e-8, (e, s2[e], want2)
         assert 0.0 <= s1[e] < np.log(4) + 1e-9  # chi=4 bond
+
+
+def test_engine_freenergy_matches_flex(tfim_setup):
+    """Compiled BP free energy / partition function against the flex cache
+    built from the same state and messages."""
+    g, psi, layer = tfim_setup
+    eng = LatticeEngine(psi, chi=4, dtype=jnp.complex128)
+    eng.bp_update(maxiter=25)
+    eng.evolve(layer, num_layers=2, cutoff=1e-10, bp_maxiter=25)
+    f_eng = eng.freenergy()
+    z_eng = eng.partitionfunction()
+    bpc = eng.to_bp_cache()
+    f_flex = bpc.freenergy()
+    assert abs(f_eng - f_flex) < 1e-8 * max(1.0, abs(f_flex))
+    assert abs(z_eng - bpc.partitionfunction()) < 1e-8 * abs(z_eng)

@@ -1625,6 +1625,63 @@ class LatticeEngine:
         return result
 
     @partial(jax.jit, static_argnums=(0,))
+    def _bp_scalars(self, T: dict, M: Array):
+        """(per-bucket vertex scalars, per-edge scalars) of the BP fixed
+        point — the compiled counterpart of the reference's
+        `scalar_factors_quotient` (`abstractbeliefpropagationcache.jl:
+        146-148`): vertex scalar = vertex factor closed with all incoming
+        messages; edge scalar = <m_e, m_e~>."""
+        plan = self.plan
+        vs = {}
+        for k, verts in plan.buckets.items():
+            in_eids = np.array(
+                [[plan.edge_ids[(u, v)] for u in plan.neighbor_order[v]] for v in verts],
+                dtype=np.int32,
+            ).reshape(len(verts), k)
+            A = T[k]
+            for j in range(k):
+                A = _absorb_message(A, M[in_eids[:, j]], axis=2 + j)
+            axes = "".join(chr(ord("a") + j) for j in range(k))
+            vs[k] = jnp.einsum(f"Bs{axes},Bs{axes}->B", A, jnp.conj(T[k]))
+        edges = list(plan.graph.edges())
+        idx1 = np.array([plan.edge_ids[(u, v)] for (u, v) in edges], np.int32)
+        idx2 = np.array([plan.edge_ids[(v, u)] for (u, v) in edges], np.int32)
+        es = jnp.einsum("eij,eij->e", M[idx1], M[idx2])
+        return vs, es
+
+    def freenergy(self):
+        """BP free energy log Z = sum log(vertex scalars) - sum log(edge
+        scalars), batched on device — the engine counterpart of the flex
+        cache's `freenergy` (reference `abstractbeliefpropagationcache.jl:
+        289-300`, incl. the complex promotion and -inf-on-zero semantics).
+        For a state engine Z is the BP estimate of <psi|psi>."""
+        vs, es = self._bp_scalars(self.T, self.M)
+        numer = np.concatenate(
+            [np.asarray(_device_get(v)).ravel() for v in vs.values()]
+        )
+        denom = np.asarray(_device_get(es)).ravel()
+        if np.any(denom == 0):
+            return -np.inf
+
+        def log_sum(terms):
+            if np.any(np.iscomplex(terms)) or np.any(np.real(terms) < 0):
+                return complex(np.sum(np.log(terms.astype(complex))))
+            return float(np.sum(np.log(np.real(terms))))
+
+        f = log_sum(numer) - log_sum(denom)
+        if isinstance(f, complex) and f.imag == 0:
+            f = f.real
+        return f
+
+    def partitionfunction(self):
+        """exp(freenergy) (reference `abstractbeliefpropagationcache.jl:
+        302-304`)."""
+        z = np.exp(self.freenergy())
+        if isinstance(z, complex) and z.imag == 0:
+            z = z.real
+        return z
+
+    @partial(jax.jit, static_argnums=(0,))
     def _bond_spectra(self, M: Array, idx1: Array, idx2: Array) -> Array:
         """Eigenvalues of rho_e = sqrt(m_rev) m_fwd sqrt(m_rev) for a batch
         of bonds — similar to m_fwd m_rev, i.e. the bond RDM spectrum the
