@@ -49,6 +49,22 @@ def test_sharded_step_matches_unsharded():
         assert abs(z_a[v] - z_b[v]) < 1e-5, v
 
 
+def test_sharded_freenergy_matches_unsharded():
+    """Mesh-sharded free-energy reduction (SURVEY §2.8 'psum-style
+    reductions for free energy') against the single-device engine value."""
+    g = tnqs.named_grid((3, 3))
+    psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex128)
+    layer = tfim_layer(g, J=0.5, hx=1.0, dt=0.25)
+    eng = LatticeEngine(psi, chi=4, dtype=jnp.complex128)
+    eng.bp_update(maxiter=10)
+    eng.evolve(layer, num_layers=2, cutoff=1e-10, bp_maxiter=10)
+    f_ref = eng.freenergy()
+    sharded = ShardedEngine(eng, make_mesh(8))
+    f_mesh = sharded.freenergy()
+    assert abs(f_mesh - f_ref) < 1e-9 * max(1.0, abs(f_ref))
+    assert abs(sharded.partitionfunction() - eng.partitionfunction()) < 1e-9
+
+
 def test_sharded_heavyhex_irregular_buckets():
     # heavy-hex has degree-2 and degree-3 buckets whose sizes are not
     # multiples of 8 — exercises the padding path

@@ -110,6 +110,49 @@ class ShardedEngine:
         jax.block_until_ready(self.M)
         return errors
 
+    def freenergy(self):
+        """BP free energy with the log reductions done ON the mesh (the
+        SURVEY §2.8 'psum-style reductions for free energy': the sharded
+        per-vertex/per-edge scalar sums lower to XLA-inserted collectives;
+        only two real scalars reach the host).  Semantics match
+        `LatticeEngine.freenergy` exactly: all-real-positive scalars give a
+        real log Z, otherwise the complex branch's summed phases."""
+        eng = self.engine
+        if getattr(self, "_fe_fn", None) is None:
+
+            def fn(T, M):
+                vs, es = eng._bp_scalars(
+                    {k: v[: self._t_rows[k]] for k, v in T.items()},
+                    M[: self._m_rows],
+                )
+                allv = jnp.concatenate([v.ravel() for v in vs.values()])
+                re = jnp.sum(jnp.log(jnp.abs(allv))) - jnp.sum(
+                    jnp.log(jnp.abs(es))
+                )
+                im = jnp.sum(jnp.angle(allv)) - jnp.sum(jnp.angle(es))
+                # flex takes the per-term complex log only when needed;
+                # angle==0 for real-positive terms makes the two agree
+                return jnp.real(re), jnp.real(im)
+
+            replicated = NamedSharding(self.mesh, P())
+            self._fe_fn = jax.jit(
+                fn,
+                in_shardings=(
+                    {k: self._row_sharding for k in self.T},
+                    self._row_sharding,
+                ),
+                out_shardings=(replicated, replicated),
+            )
+        re, im = self._fe_fn(self.T, self.M)
+        re, im = float(np.asarray(re)), float(np.asarray(im))
+        return re if im == 0.0 else complex(re, im)
+
+    def partitionfunction(self):
+        z = np.exp(self.freenergy())
+        if isinstance(z, complex) and z.imag == 0:
+            z = z.real
+        return z
+
     def unshard(self) -> LatticeEngine:
         from ..utils.transfer import device_get
 
