@@ -280,3 +280,26 @@ def test_engine_freenergy_matches_flex(tfim_setup):
     f_flex = bpc.freenergy()
     assert abs(f_eng - f_flex) < 1e-8 * max(1.0, abs(f_flex))
     assert abs(z_eng - bpc.partitionfunction()) < 1e-8 * abs(z_eng)
+
+
+def test_engine_normalize_rescale(tfim_setup):
+    """After normalize(): every local BP scalar is 1, Z_BP = 1, and
+    expectation values are unchanged (scalar invariance)."""
+    g, psi, layer = tfim_setup
+    eng = LatticeEngine(psi, chi=4, dtype=jnp.complex128)
+    eng.bp_update(maxiter=25)
+    eng.evolve(layer, num_layers=2, cutoff=1e-10, bp_maxiter=25)
+    z_before = eng.expect_1site("Z")
+    eng.normalize()
+    assert abs(eng.freenergy()) < 1e-9
+    assert abs(eng.partitionfunction() - 1.0) < 1e-9
+    vs, es = eng._bp_scalars(eng.T, eng.M)
+    import numpy as _np
+    for k, q in vs.items():
+        _np.testing.assert_allclose(_np.asarray(q), 1.0, atol=1e-10)
+    _np.testing.assert_allclose(_np.asarray(es), 1.0, atol=1e-10)
+    z_after = eng.expect_1site("Z")
+    for v in g.vertices():
+        assert abs(z_before[v] - z_after[v]) < 1e-9
+    # flex cross-check: the exported state is BP-normalized too
+    assert abs(tnqs.norm_sqr(eng.to_state(), alg="bp") - 1.0) < 1e-6

@@ -1682,6 +1682,49 @@ class LatticeEngine:
         return z
 
     @partial(jax.jit, static_argnums=(0,))
+    def _rescaled(self, T: dict, M: Array):
+        """Batched rescale: every message pair to unit overlap, then every
+        vertex tensor by 1/sqrt(vertex scalar) — after this all local BP
+        scalars are 1 and Z_BP = 1 (reference `rescale!`,
+        `beliefpropagationcache.jl:82-140`; the phase convention differs —
+        the complex-sqrt branch is used uniformly — but the invariants are
+        identical and expectations are scalar-invariant)."""
+        plan = self.plan
+        edges = list(plan.graph.edges())
+        idx1 = np.array([plan.edge_ids[(u, v)] for (u, v) in edges], np.int32)
+        idx2 = np.array([plan.edge_ids[(v, u)] for (u, v) in edges], np.int32)
+        m1, m2 = M[idx1], M[idx2]
+
+        def unit(m):
+            n = jnp.sqrt(jnp.sum(jnp.abs(m) ** 2, axis=(1, 2), keepdims=True))
+            return m / jnp.where(n > 0, n, 1.0).astype(m.dtype)
+
+        m1, m2 = unit(m1), unit(m2)
+        n = jnp.einsum("eij,eij->e", m1, m2)[:, None, None]
+        root = jnp.sqrt(jnp.where(jnp.abs(n) > 0, n, 1.0))
+        Mn = M.at[idx1].set(m1 / root).at[idx2].set(m2 / root)
+        vs, _ = self._bp_scalars(T, Mn)
+        Tn = {}
+        for k in T:
+            q = vs[k]
+            r = jnp.sqrt(jnp.where(jnp.abs(q) > 0, q, 1.0))
+            Tn[k] = T[k] / r.reshape((-1,) + (1,) * (T[k].ndim - 1))
+        return Tn, Mn
+
+    def rescale(self) -> "LatticeEngine":
+        """In-place engine counterpart of the flex cache's `rescale_()`."""
+        self.T, self.M = self._rescaled(self.T, self.M)
+        return self
+
+    def normalize(self, bp_maxiter: int = 30) -> "LatticeEngine":
+        """BP-normalize the engine state: converge messages, then rescale
+        so all local scalars (and hence Z_BP = <psi|psi>_BP) equal 1 —
+        the compiled counterpart of `tnqs.normalize(psi, alg="bp")`
+        (reference `normalize.jl:1-6`)."""
+        self.bp_update(maxiter=bp_maxiter)
+        return self.rescale()
+
+    @partial(jax.jit, static_argnums=(0,))
     def _bond_spectra(self, M: Array, idx1: Array, idx2: Array) -> Array:
         """Eigenvalues of rho_e = sqrt(m_rev) m_fwd sqrt(m_rev) for a batch
         of bonds — similar to m_fwd m_rev, i.e. the bond RDM spectrum the
