@@ -303,3 +303,54 @@ def test_engine_normalize_rescale(tfim_setup):
         assert abs(z_before[v] - z_after[v]) < 1e-9
     # flex cross-check: the exported state is BP-normalized too
     assert abs(tnqs.norm_sqr(eng.to_state(), alg="bp") - 1.0) < 1e-6
+
+
+def test_engine_thermal_free_energy_matches_flex_and_htse():
+    """Compiled imaginary-time thermal evolution: identity operator state
+    (folded d=4 sites) + ket-leg Heisenberg gates + per-step freenergy/
+    rescale accounting — the engine counterpart of the thermal example
+    (reference `hexagonal_heisenbergmodel_thermalstate.jl`).  Compared
+    step-for-step against the flex trajectory and against the 4th-order
+    HTSE anchor."""
+    from tnqs.models import (
+        heisenberg_imaginary_time_gates,
+        heisenberg_thermal_layer,
+        htse_free_energy_density_4th,
+    )
+
+    J, dbeta, nsteps, chi = 1.0, 0.02, 6, 8
+    g = tnqs.named_hexagonal_lattice_graph(2, 2, periodic=True)
+
+    # flex trajectory
+    s = tnqs.siteinds("S=1/2", g, inds_per_site=2)
+    psi = tnqs.identity_tensornetworkstate(g, s, dtype=np.float64)
+    bpc = tnqs.BeliefPropagationCache(psi).update()
+    gates = heisenberg_imaginary_time_gates(g, s, J, dbeta)
+    logz_flex = -bpc.freenergy()
+    bpc.rescale_()
+    for _ in range(nsteps):
+        bpc, _ = tnqs.apply_gates(
+            gates, bpc, apply_kwargs=dict(maxdim=chi, cutoff=1e-14, normalize_tensors=False)
+        )
+        logz_flex -= bpc.freenergy()
+        bpc.rescale_()
+
+    # engine trajectory
+    psi_e = tnqs.identity_tensornetworkstate(g, s, dtype=np.float64)
+    eng = LatticeEngine(psi_e, chi=chi, dtype=jnp.complex128)
+    eng.bp_update(maxiter=30)
+    layer = heisenberg_thermal_layer(g, J, dbeta)
+    step = eng.make_step(layer, cutoff=1e-14, normalize=False, bp_maxiter=30)
+    logz_eng = -eng.freenergy()
+    eng.rescale()
+    for _ in range(nsteps):
+        eng.T, eng.M, _ = step(eng.T, eng.M)
+        logz_eng -= eng.freenergy()
+        eng.rescale()
+
+    f_flex = np.real(logz_flex) / g.nv()
+    f_eng = np.real(logz_eng) / g.nv()
+    assert abs(f_eng - f_flex) < 1e-8, (f_eng, f_flex)
+    beta = 2 * nsteps * dbeta
+    f_htse = htse_free_energy_density_4th(J, beta)
+    assert abs(f_eng - f_htse) < 5e-4, (f_eng, f_htse)

@@ -10,12 +10,17 @@ from .ising import (
     operator_picture_layer,
     tfim_layer,
 )
-from .heisenberg import heisenberg_imaginary_time_gates, htse_free_energy_density_4th
+from .heisenberg import (
+    heisenberg_imaginary_time_gates,
+    heisenberg_thermal_layer,
+    htse_free_energy_density_4th,
+)
 
 __all__ = [
     "tfim_layer",
     "heavy_hex_kicked_ising_layer",
     "operator_picture_layer",
     "heisenberg_imaginary_time_gates",
+    "heisenberg_thermal_layer",
     "htse_free_energy_density_4th",
 ]
