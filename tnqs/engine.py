@@ -1681,6 +1681,108 @@ class LatticeEngine:
             z = z.real
         return z
 
+    # -- loop corrections (compiled tier) -------------------------------
+    def _cycle_vertex_transfer(self, v, prev_v, next_v, Ts: dict, Ms: Array):
+        """Doubled transfer matrix [chi^2, chi^2] of one cycle vertex:
+        ket (x) bra with the converged messages absorbed on every
+        off-cycle bond, the (in, out) cycle-bond pairs left open."""
+        plan, chi = self.plan, self.chi
+        k, pos = plan.bucket_pos[v]
+        A = Ts[k][pos]
+        C = jnp.conj(A)
+        order = plan.neighbor_order[v]
+        si, so = order.index(prev_v), order.index(next_v)
+        subs = [
+            "s" + "".join(chr(ord("a") + j) for j in range(k)),
+            "s" + "".join(chr(ord("A") + j) for j in range(k)),
+        ]
+        operands = [A, C]
+        for j, u in enumerate(order):
+            if j in (si, so):
+                continue
+            operands.append(Ms[plan.edge_ids[(u, v)]])
+            subs.append(chr(ord("a") + j) + chr(ord("A") + j))
+        out = (
+            chr(ord("a") + si) + chr(ord("A") + si)
+            + chr(ord("a") + so) + chr(ord("A") + so)
+        )
+        Tv = jnp.einsum(",".join(subs) + "->" + out, *operands)
+        return Tv.reshape(chi * chi, chi * chi)
+
+    def _cycle_bond_op(self, v, v_next, Ms: Array):
+        """Antiprojector 1 - |m_into_v><m_into_v_next| on the doubled
+        cycle bond (messages rescaled to unit overlap beforehand); each
+        endpoint contracts the message pointing INTO it, which makes the
+        weight orientation-invariant exactly as in the flex tier."""
+        plan, chi = self.plan, self.chi
+        m_in = Ms[plan.edge_ids[(v_next, v)]].reshape(-1)
+        m_out = Ms[plan.edge_ids[(v, v_next)]].reshape(-1)
+        eye = jnp.eye(chi * chi, dtype=Ms.dtype)
+        return eye - jnp.outer(m_in, m_out)
+
+    def loopcorrected_partitionfunction(self, max_configuration_size: int):
+        """Loop-series-corrected partition function on the compiled tier
+        (reference `loopcorrection.jl:3-14,79-89`): Z_BP * (1 + sum of
+        configuration weights) with antiprojectors on the configuration
+        edges of the rescaled fixed point.
+
+        TPU-native evaluation: simple-cycle configurations — ALL
+        configurations on grids and (heavy-)hex lattices at plaquette
+        sizes — become ring products of doubled [chi^2, chi^2] transfer
+        matrices, batched over same-length cycles (MXU matmul chains).
+        Non-cycle configurations (vertex-disjoint unions at larger sizes)
+        fall back to the flex weights through `to_bp_cache`; the engine's
+        own state is never mutated (the rescale is functional)."""
+        from .graphs import leafless_edge_induced_subgraphs
+
+        plan = self.plan
+        zbp = self.partitionfunction()
+        egs = leafless_edge_induced_subgraphs(
+            plan.graph, max_configuration_size
+        )
+        if not egs:
+            return zbp
+        Ts, Ms = self._rescaled(self.T, self.M)
+        cycles, others = [], []
+        for eg in egs:
+            cyc = _cycle_order(eg)
+            if cyc is None:
+                others.append(eg)
+            else:
+                cycles.append(cyc)
+        total = 0.0 + 0.0j
+        by_len: dict = {}
+        for cyc in cycles:
+            by_len.setdefault(len(cyc), []).append(cyc)
+        for L, group in sorted(by_len.items()):
+            W = None
+            for i in range(L):
+                T_i = jnp.stack(
+                    [
+                        self._cycle_vertex_transfer(
+                            cyc[i], cyc[i - 1], cyc[(i + 1) % L], Ts, Ms
+                        )
+                        for cyc in group
+                    ]
+                )
+                B_i = jnp.stack(
+                    [
+                        self._cycle_bond_op(cyc[i], cyc[(i + 1) % L], Ms)
+                        for cyc in group
+                    ]
+                )
+                step = jnp.einsum("bij,bjk->bik", T_i, B_i)
+                W = step if W is None else jnp.einsum("bij,bjk->bik", W, step)
+            w = jnp.sum(jnp.trace(W, axis1=1, axis2=2))
+            total += complex(np.asarray(_device_get(w)))
+        if others:
+            from .loopcorrections import weight as _flex_weight
+
+            bpc = self.to_bp_cache().rescale()
+            for eg in others:
+                total += complex(_flex_weight(bpc, eg))
+        return zbp * (1 + total)
+
     @partial(jax.jit, static_argnums=(0,))
     def _rescaled(self, T: dict, M: Array):
         """Batched rescale: every message pair to unit overlap, then every
@@ -1768,6 +1870,30 @@ class LatticeEngine:
                     np.log(np.sum(lams**alpha)) / (1 - alpha)
                 )
         return out
+
+
+def _cycle_order(eg) -> list | None:
+    """Ordered vertex walk of an edge set that forms ONE simple cycle, or
+    None (non-cycle configurations fall back to the flex weights)."""
+    adj: dict = {}
+    for (u, v) in eg:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    if any(len(ns) != 2 for ns in adj.values()):
+        return None
+    start = next(iter(adj))
+    cyc = [start]
+    prev, cur = None, start
+    while True:
+        a, b = adj[cur]
+        nxt = b if a == prev else a
+        if nxt == start:
+            break
+        cyc.append(nxt)
+        prev, cur = cur, nxt
+        if len(cyc) > len(adj):
+            return None
+    return cyc if len(cyc) == len(adj) else None
 
 
 def default_engine_tolerance(dtype) -> float:
