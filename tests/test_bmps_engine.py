@@ -499,3 +499,22 @@ def test_inner_and_fidelity_match_exact():
     # norm estimate agrees with the exact norm
     log_kk, _ = be._log_inner(None)
     assert abs(np.exp(log_kk) - nb) / nb < 2e-3
+
+
+def test_norm_sqr_and_lognorm():
+    """Public BMPS norm estimate: converges toward exact with MPS rank."""
+    rng = np.random.default_rng(1)
+    g = tnqs.named_grid((3, 3))
+    psi = tnqs.random_tensornetworkstate(
+        g, "S=1/2", bond_dimension=2, dtype=np.complex128, rng=rng
+    )
+    eng = LatticeEngine(psi, chi=2, dtype=np.complex128)
+    eng.bp_update(maxiter=40)
+    want = float(np.real(tnqs.norm_sqr(psi, alg="exact")))
+    err8 = abs(BMPSEngine(eng, rank=8).norm_sqr() - want) / want
+    err24 = abs(BMPSEngine(eng, rank=24).norm_sqr() - want) / want
+    assert err8 < 0.05
+    assert err24 < err8
+    assert err24 < 5e-3
+    be = BMPSEngine(eng, rank=8)
+    assert abs(np.exp(be.lognorm()) - be.norm_sqr()) < 1e-6 * be.norm_sqr()

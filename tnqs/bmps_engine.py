@@ -1024,6 +1024,19 @@ class BMPSEngine:
             np.asarray(device_get(phase))
         )
 
+    def lognorm(self) -> float:
+        """log <psi|psi> via boundary-MPS sweeps — the scale-safe norm at
+        any lattice size (compiled counterpart of `tnqs.norm_sqr(psi,
+        alg="boundarymps")`, reference `norm_sqr.jl:72-78`, in log space)."""
+        log_abs, _ = self._log_inner(None)
+        return log_abs
+
+    def norm_sqr(self) -> float:
+        """<psi|psi> via boundary-MPS sweeps.  Underflows f32 beyond ~100
+        sites (engine tensors are per-tensor normalized) — prefer
+        :meth:`lognorm` at scale."""
+        return float(np.exp(self.lognorm()))
+
     def inner(self, bra: "LatticeEngine") -> complex:
         """<bra|ket> via boundary-MPS sweeps, ket = this engine's state —
         the compiled counterpart of `tnqs.inner(ket_state, bra_state,
