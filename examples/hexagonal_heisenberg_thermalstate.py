@@ -49,12 +49,19 @@ def main():
     # the same workload on the compiled engine: folded operator sites
     # (d = 4), one XLA program per Trotter layer, per-step on-device
     # freenergy + rescale accounting
+    import jax
+
     from tnqs.engine import LatticeEngine
     from tnqs.models import heisenberg_thermal_layer
 
+    # C128 is not a supported TPU type; the engine demo runs f64-precision
+    # on CPU and c64 on an accelerator backend
+    eng_dtype = (
+        np.complex128 if jax.default_backend() == "cpu" else np.complex64
+    )
     eng = LatticeEngine(
         tnqs.identity_tensornetworkstate(g, s, dtype=np.float64),
-        chi=chi, dtype=np.complex128,
+        chi=chi, dtype=eng_dtype,
     )
     eng.bp_update(maxiter=30)
     step = eng.make_step(

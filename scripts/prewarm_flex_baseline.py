@@ -33,7 +33,9 @@ def main():
         if c.get("chi") == chi and c.get("nv") == g.nv() and c.get("host") == host:
             cached = c
 
-    if "layers_per_sec" not in cached:
+    # mirror bench.py:main's condition: BOTH values must be present or it
+    # re-measures anyway
+    if "layers_per_sec" not in cached or "julia_bound_lps" not in cached:
         print("measuring flex baseline (interpreted, saturated bonds)...")
         flex_lps = bench.bench_flex(g, layer, chi)
         julia_lps = bench.julia_bound_lps(g, layer, chi, flex_lps)

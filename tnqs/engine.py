@@ -1676,10 +1676,7 @@ class LatticeEngine:
     def partitionfunction(self):
         """exp(freenergy) (reference `abstractbeliefpropagationcache.jl:
         302-304`)."""
-        z = np.exp(self.freenergy())
-        if isinstance(z, complex) and z.imag == 0:
-            z = z.real
-        return z
+        return _z_from_freenergy(self.freenergy())
 
     # -- loop corrections (compiled tier) -------------------------------
     def _cycle_vertex_transfer(self, v, prev_v, next_v, Ts: dict, Ms: Array):
@@ -1737,44 +1734,70 @@ class LatticeEngine:
 
         plan = self.plan
         zbp = self.partitionfunction()
-        egs = leafless_edge_induced_subgraphs(
-            plan.graph, max_configuration_size
-        )
-        if not egs:
-            return zbp
-        Ts, Ms = self._rescaled(self.T, self.M)
-        cycles, others = [], []
-        for eg in egs:
-            cyc = _cycle_order(eg)
-            if cyc is None:
-                others.append(eg)
-            else:
-                cycles.append(cyc)
-        total = 0.0 + 0.0j
-        by_len: dict = {}
-        for cyc in cycles:
-            by_len.setdefault(len(cyc), []).append(cyc)
-        for L, group in sorted(by_len.items()):
-            W = None
-            for i in range(L):
-                T_i = jnp.stack(
-                    [
-                        self._cycle_vertex_transfer(
-                            cyc[i], cyc[i - 1], cyc[(i + 1) % L], Ts, Ms
+        cache = getattr(self, "_loopcorr_cache", None)
+        if cache is None:
+            cache = self._loopcorr_cache = {}
+        if max_configuration_size not in cache:
+            egs = leafless_edge_induced_subgraphs(
+                plan.graph, max_configuration_size
+            )
+            cycles, others = [], []
+            for eg in egs:
+                cyc = _cycle_order(eg)
+                if cyc is None:
+                    others.append(eg)
+                else:
+                    cycles.append(cyc)
+            by_len: dict = {}
+            for cyc in cycles:
+                by_len.setdefault(len(cyc), []).append(cyc)
+
+            def w_fn(T, M, by_len=by_len):
+                # ONE compiled program: functional rescale + every cycle
+                # group's transfer-matrix ring product (no per-cycle
+                # dispatches — the eager version paid a device round-trip
+                # per matrix on the tunneled backend)
+                Ts, Ms = self._rescaled(T, M)
+                total = jnp.zeros((), dtype=M.dtype)
+                for L, group in sorted(by_len.items()):
+                    W = None
+                    for i in range(L):
+                        T_i = jnp.stack(
+                            [
+                                self._cycle_vertex_transfer(
+                                    cyc[i], cyc[i - 1], cyc[(i + 1) % L],
+                                    Ts, Ms,
+                                )
+                                for cyc in group
+                            ]
                         )
-                        for cyc in group
-                    ]
-                )
-                B_i = jnp.stack(
-                    [
-                        self._cycle_bond_op(cyc[i], cyc[(i + 1) % L], Ms)
-                        for cyc in group
-                    ]
-                )
-                step = jnp.einsum("bij,bjk->bik", T_i, B_i)
-                W = step if W is None else jnp.einsum("bij,bjk->bik", W, step)
-            w = jnp.sum(jnp.trace(W, axis1=1, axis2=2))
-            total += complex(np.asarray(_device_get(w)))
+                        B_i = jnp.stack(
+                            [
+                                self._cycle_bond_op(
+                                    cyc[i], cyc[(i + 1) % L], Ms
+                                )
+                                for cyc in group
+                            ]
+                        )
+                        step = jnp.einsum("bij,bjk->bik", T_i, B_i)
+                        W = (
+                            step
+                            if W is None
+                            else jnp.einsum("bij,bjk->bik", W, step)
+                        )
+                    total = total + jnp.sum(jnp.trace(W, axis1=1, axis2=2))
+                return total
+
+            cache[max_configuration_size] = (
+                jax.jit(w_fn) if by_len else None,
+                others,
+            )
+        jfn, others = cache[max_configuration_size]
+        if jfn is None and not others:
+            return zbp
+        total = 0.0 + 0.0j
+        if jfn is not None:
+            total += complex(np.asarray(_device_get(jfn(self.T, self.M))))
         if others:
             from .loopcorrections import weight as _flex_weight
 
@@ -1803,13 +1826,28 @@ class LatticeEngine:
 
         m1, m2 = unit(m1), unit(m2)
         n = jnp.einsum("eij,eij->e", m1, m2)[:, None, None]
-        root = jnp.sqrt(jnp.where(jnp.abs(n) > 0, n, 1.0))
-        Mn = M.at[idx1].set(m1 / root).at[idx2].set(m2 / root)
+        if jnp.issubdtype(M.dtype, jnp.complexfloating):
+            root = jnp.sqrt(jnp.where(jnp.abs(n) > 0, n, 1.0))
+            m1n, m2n = m1 / root, m2 / root
+        else:
+            # real dtype: sqrt of a negative overlap would NaN — sign-flip
+            # like the flex tier (`rescale_messages`, bp.py) so the pair
+            # overlap still lands at exactly +1
+            s = jnp.where(jnp.real(n) < 0, -1.0, 1.0).astype(M.dtype)
+            root = jnp.sqrt(jnp.where(jnp.abs(n) > 0, jnp.abs(n), 1.0))
+            m1n, m2n = m1 * s / root, m2 / root
+        Mn = M.at[idx1].set(m1n).at[idx2].set(m2n)
         vs, _ = self._bp_scalars(T, Mn)
         Tn = {}
         for k in T:
             q = vs[k]
-            r = jnp.sqrt(jnp.where(jnp.abs(q) > 0, q, 1.0))
+            if jnp.issubdtype(T[k].dtype, jnp.complexfloating):
+                r = jnp.sqrt(jnp.where(jnp.abs(q) > 0, q, 1.0))
+            else:
+                # real dtype cannot promote to complex (flex uses
+                # emath.sqrt): normalize the magnitude; a negative vertex
+                # scalar keeps its sign (scalar lands at +-1, never NaN)
+                r = jnp.sqrt(jnp.where(jnp.abs(q) > 0, jnp.abs(q), 1.0))
             Tn[k] = T[k] / r.reshape((-1,) + (1,) * (T[k].ndim - 1))
         return Tn, Mn
 
@@ -1870,6 +1908,15 @@ class LatticeEngine:
                     np.log(np.sum(lams**alpha)) / (1 - alpha)
                 )
         return out
+
+
+def _z_from_freenergy(f):
+    """exp(log Z) with the flex tier's demotion of exactly-real complex
+    values (shared by the engine and the mesh wrapper)."""
+    z = np.exp(f)
+    if isinstance(z, complex) and z.imag == 0:
+        z = z.real
+    return z
 
 
 def _cycle_order(eg) -> list | None:

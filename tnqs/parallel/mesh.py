@@ -132,7 +132,8 @@ class ShardedEngine:
                 im = jnp.sum(jnp.angle(allv)) - jnp.sum(jnp.angle(es))
                 # flex takes the per-term complex log only when needed;
                 # angle==0 for real-positive terms makes the two agree
-                return jnp.real(re), jnp.real(im)
+                min_es = jnp.min(jnp.abs(es))
+                return jnp.real(re), jnp.real(im), min_es
 
             replicated = NamedSharding(self.mesh, P())
             self._fe_fn = jax.jit(
@@ -141,17 +142,20 @@ class ShardedEngine:
                     {k: self._row_sharding for k in self.T},
                     self._row_sharding,
                 ),
-                out_shardings=(replicated, replicated),
+                out_shardings=(replicated, replicated, replicated),
             )
-        re, im = self._fe_fn(self.T, self.M)
+        re, im, min_es = self._fe_fn(self.T, self.M)
+        if float(np.asarray(min_es)) == 0.0:
+            # a zero edge scalar means Z_BP = 0 (LatticeEngine.freenergy's
+            # -inf branch), NOT +inf from the -log|0| denominator
+            return -np.inf
         re, im = float(np.asarray(re)), float(np.asarray(im))
         return re if im == 0.0 else complex(re, im)
 
     def partitionfunction(self):
-        z = np.exp(self.freenergy())
-        if isinstance(z, complex) and z.imag == 0:
-            z = z.real
-        return z
+        from ..engine import _z_from_freenergy
+
+        return _z_from_freenergy(self.freenergy())
 
     def unshard(self) -> LatticeEngine:
         from ..utils.transfer import device_get
