@@ -379,3 +379,22 @@ def test_engine_loopcorrected_z_matches_flex():
     # tightening: loop-corrected Z beats BP against exact contraction
     z_ex = tnqs.norm_sqr(psi, alg="exact")
     assert abs(z_eng - z_ex) < 0.5 * abs(z_bp - z_ex)
+
+
+def test_engine_loopcorrection_exact_on_ring():
+    """Analytic anchor (no flex cross-check): on a single-cycle graph the
+    loop expansion truncated at the full cycle is EXACT — Z_BP(1 + w_ring)
+    equals the exact contraction to machine precision, while plain BP is
+    off by ~1e-2 on a random state."""
+    rng = np.random.default_rng(9)
+    g = tnqs.named_ring_graph(6)
+    psi = tnqs.random_tensornetworkstate(
+        g, "S=1/2", bond_dimension=3, dtype=np.complex128, rng=rng
+    )
+    eng = LatticeEngine(psi, chi=3, dtype=np.complex128)
+    eng.bp_update(maxiter=80)
+    z_ex = complex(tnqs.norm_sqr(psi, alg="exact"))
+    z_bp = eng.partitionfunction()
+    z_loop = eng.loopcorrected_partitionfunction(6)
+    assert abs(z_bp - z_ex) / abs(z_ex) > 1e-3      # BP alone is not exact
+    assert abs(z_loop - z_ex) / abs(z_ex) < 1e-12   # BP + ring loop is
