@@ -317,12 +317,21 @@ def test_ladder_transfer_explicit_matches_generic():
         BE._EINSUM_BUDGET = old
 
 
-def test_ladder_explicit_path_in_expect():
-    """End-to-end: a tiny forced budget (explicit ladder + chunked zip) on an
-    evolved heavy-hex state reproduces the default path to sketch noise."""
+@pytest.mark.parametrize(
+    "maker",
+    [
+        lambda: tnqs.heavy_hexagonal_lattice(2, 2),  # one-cross vertices
+        lambda: tnqs.named_grid((4, 4)),  # two-cross (grid interiors)
+    ],
+)
+def test_ladder_explicit_path_in_expect(maker):
+    """End-to-end: a tiny forced budget (explicit/blocked ladder + chunked
+    zip) on an evolved state reproduces the default path to sketch noise —
+    covering both the one-cross chain and the two-cross grid-interior
+    blocked contraction inside a full expect program."""
     import tnqs.bmps_engine as BE
 
-    g = tnqs.heavy_hexagonal_lattice(2, 2)
+    g = maker()
     psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
     bpc = tnqs.BeliefPropagationCache(psi)
     layer = [("Rzz", e, 0.4) for e in g.edges()] + [
