@@ -63,6 +63,19 @@ def main():
     diff = max(abs(z[v] - z2[v]) for v in g.vertices())
     print(f"checkpoint resume max <Z> deviation: {diff:.2e}")
 
+    # entanglement structure + BP-quality diagnostics, all on device:
+    # per-bond entropies from the converged messages (one batched
+    # eigensolve) and the loop-series-corrected partition function
+    # (plaquette cycles as batched transfer-matrix ring products)
+    S = eng.bond_entropies(alpha=1)
+    smax = max(S.items(), key=lambda kv: kv[1])
+    print(f"max bond entropy {smax[1]:.4f} on {smax[0]}")
+    z_bp = eng.partitionfunction()
+    # heavy-hex plaquettes are 12-cycles (shorter sizes find no configs)
+    z_loop = eng.loopcorrected_partitionfunction(12)
+    print(f"Z_BP = {z_bp:.6e}; loop-corrected relative shift "
+          f"{abs(z_loop - z_bp) / abs(z_bp):.2e}")
+
     # compiled boundary-MPS measurement + certified sampling (the full
     # BASELINE workload-2 pipeline stays on-device; the flex tier remains
     # available via eng.to_state() + tnqs.expect(alg="boundarymps"))
