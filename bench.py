@@ -40,6 +40,45 @@ import numpy as np
 
 FAST = bool(os.environ.get("TNQS_BENCH_FAST"))
 CACHE = pathlib.Path(__file__).resolve().parent / ".bench_flex_baseline.json"
+LOCK = pathlib.Path("/tmp/tnqs_tpu.lock")
+
+
+def acquire_tpu_lock(max_wait_s: float = 7200.0, stale_s: float = 10800.0):
+    """Serialize TPU access across processes (mkdir-based lock, shared with
+    `scripts/tpu_queue*.sh`): two concurrent axon processes wedge the single
+    tunneled chip (CLAUDE.md).  No-op when running CPU-only.  A lock older
+    than `stale_s` is treated as crashed and stolen."""
+    if not os.environ.get("PALLAS_AXON_POOL_IPS", ""):
+        return
+    t0 = time.time()
+    warned = False
+    while True:
+        try:
+            LOCK.mkdir()
+            break
+        except FileExistsError:
+            try:
+                if time.time() - LOCK.stat().st_mtime > stale_s:
+                    LOCK.rmdir()
+                    continue
+            except OSError:
+                continue  # raced with the holder's release
+            if not warned:
+                print(
+                    "# waiting for the TPU lock (another tnqs TPU process "
+                    "is active; see /tmp/tnqs_tpu.lock)",
+                    file=sys.stderr,
+                )
+                warned = True
+            if time.time() - t0 > max_wait_s:
+                raise RuntimeError(
+                    "timed out waiting for the TPU lock; remove "
+                    f"{LOCK} if its holder crashed"
+                )
+            time.sleep(30)
+    import atexit
+
+    atexit.register(lambda: LOCK.rmdir() if LOCK.exists() else None)
 
 
 def build_workload():
@@ -326,6 +365,7 @@ def julia_bound_lps(g, layer, chi, flex_lps):
 
 
 def main():
+    acquire_tpu_lock()
     g, layer, chi = build_workload()
     steps = int(os.environ.get("TNQS_BENCH_STEPS", "5" if FAST else "20"))
     layers_per_sec, compile_s, eng = bench_engine(g, layer, chi, steps)

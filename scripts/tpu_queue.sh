@@ -1,7 +1,9 @@
 #!/bin/bash
 # Wait for the tunneled TPU to come back, then run the round-3 pjsvd
 # validation chain sequentially (ONE TPU process at a time — concurrent
-# axon processes wedge the chip; see CLAUDE.md).
+# axon processes wedge the chip; see CLAUDE.md).  Every TPU touch holds
+# /tmp/tnqs_tpu.lock, shared with bench.py's acquire_tpu_lock(), so a
+# driver-launched bench and this queue never overlap on the chip.
 #
 #   1. scripts/microbench_svd.py            — pjsvd vs XLA SVD speed/accuracy
 #   2. scripts/tpu_parity_check.py (pjsvd)  — 10-layer chi=64 Eagle trajectory
@@ -10,6 +12,22 @@
 LOG=${1:-/tmp/tpu_queue.log}
 cd "$(dirname "$0")/.."
 exec >>"$LOG" 2>&1
+
+LOCK=/tmp/tnqs_tpu.lock
+with_lock() {
+  # steal locks older than 3h (crashed holder)
+  while ! mkdir "$LOCK" 2>/dev/null; do
+    if [ -d "$LOCK" ] && [ "$(( $(date +%s) - $(stat -c %Y "$LOCK" 2>/dev/null || echo 0) ))" -gt 10800 ]; then
+      rmdir "$LOCK" 2>/dev/null
+      continue
+    fi
+    sleep 30
+  done
+  "$@"
+  rc=$?
+  rmdir "$LOCK" 2>/dev/null
+  return $rc
+}
 
 probe() {
   timeout 150 python -c "
@@ -23,16 +41,16 @@ print('TPU OK:', d)
 }
 
 echo "=== tpu_queue start $(date) ==="
-until probe; do
+until with_lock probe; do
   echo "tpu down $(date)"
   sleep 180
 done
 
 echo "=== TPU back $(date): microbench_svd ==="
-timeout 3600 python scripts/microbench_svd.py || echo "MICROBENCH FAILED rc=$?"
+with_lock timeout 3600 python scripts/microbench_svd.py || echo "MICROBENCH FAILED rc=$?"
 
 echo "=== tpu_parity_check --trunc svd --svd-impl pjsvd $(date) ==="
-TNQS_SVD_IMPL=pjsvd timeout 5400 python scripts/tpu_parity_check.py \
+TNQS_SVD_IMPL=pjsvd with_lock timeout 5400 python scripts/tpu_parity_check.py \
   --trunc svd --svd-impl pjsvd \
   --out tests/golden/tpu_parity_chi64_pjsvd.json || echo "PARITY FAILED rc=$?"
 
