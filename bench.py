@@ -81,6 +81,62 @@ def acquire_tpu_lock(max_wait_s: float = 7200.0, stale_s: float = 10800.0):
     atexit.register(lambda: LOCK.rmdir() if LOCK.exists() else None)
 
 
+def wait_for_tpu(max_wait_s: float | None = None):
+    """Block until the tunneled TPU answers a trivial computation (subprocess
+    probe, so a wedged/offline chip can be timed out and retried).  The chip
+    has multi-hour outages (`docs/performance.md`); without this, a bench
+    launched mid-outage fails instantly instead of producing a result.
+    No-op in CPU mode.  `TNQS_BENCH_TPU_WAIT` (seconds, 0 disables) overrides
+    the default 3600 s budget."""
+    if not os.environ.get("PALLAS_AXON_POOL_IPS", ""):
+        return
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("TNQS_BENCH_TPU_WAIT", "3600"))
+    if max_wait_s <= 0:
+        return
+    import subprocess
+
+    probe_src = (
+        "import jax, jax.numpy as jnp\n"
+        "d = [x for x in jax.devices() if x.platform != 'cpu']\n"
+        "assert d, 'no TPU device'\n"
+        "v = float(jax.device_get(jnp.ones((8, 8), jnp.float32).sum()))\n"
+        "assert v == 64.0, v\n"
+    )
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        # the probe itself can hang on a dead tunnel; bound it hard with
+        # coreutils timeout (SIGKILL-capable, unlike subprocess timeout=
+        # which only works once the child is signal-responsive)
+        r = subprocess.run(
+            ["timeout", "-k", "10", "150", sys.executable, "-c", probe_src],
+            capture_output=True,
+        )
+        if r.returncode == 0:
+            if attempt > 1:
+                print(
+                    f"# TPU back after {time.time() - t0:.0f}s "
+                    f"({attempt} probes)",
+                    file=sys.stderr,
+                )
+            return
+        if time.time() - t0 > max_wait_s:
+            raise RuntimeError(
+                f"TPU did not come back within {max_wait_s:.0f}s "
+                f"({attempt} probes); last stderr: "
+                + r.stderr.decode(errors="replace").strip()[-500:]
+            )
+        if attempt == 1:
+            print(
+                "# TPU probe failed (chip down or tunnel wedged); retrying "
+                f"for up to {max_wait_s:.0f}s",
+                file=sys.stderr,
+            )
+        time.sleep(120)
+
+
 def build_workload():
     import tnqs
     from tnqs.models import heavy_hex_kicked_ising_layer
@@ -366,6 +422,7 @@ def julia_bound_lps(g, layer, chi, flex_lps):
 
 def main():
     acquire_tpu_lock()
+    wait_for_tpu()
     g, layer, chi = build_workload()
     steps = int(os.environ.get("TNQS_BENCH_STEPS", "5" if FAST else "20"))
     layers_per_sec, compile_s, eng = bench_engine(g, layer, chi, steps)
