@@ -43,13 +43,49 @@ CACHE = pathlib.Path(__file__).resolve().parent / ".bench_flex_baseline.json"
 LOCK = pathlib.Path("/tmp/tnqs_tpu.lock")
 
 
+def _lock_owner_alive():
+    """True/False if the recorded holder pid is alive/dead, None if no owner
+    is recorded (pre-owner-write window, or a foreign lock)."""
+    try:
+        pid = int((LOCK / "owner").read_text())
+    except (OSError, ValueError):
+        return None
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+
+
+def _release_tpu_lock():
+    import shutil
+
+    try:
+        if (LOCK / "owner").read_text().strip() != str(os.getpid()):
+            return  # the lock was stolen and re-acquired; not ours to remove
+    except OSError:
+        return
+    shutil.rmtree(LOCK, ignore_errors=True)
+
+
 def acquire_tpu_lock(max_wait_s: float = 7200.0, stale_s: float = 10800.0):
     """Serialize TPU access across processes (mkdir-based lock, shared with
     `scripts/tpu_queue*.sh`): two concurrent axon processes wedge the single
-    tunneled chip (CLAUDE.md).  No-op when running CPU-only.  A lock older
-    than `stale_s` is treated as crashed and stolen."""
+    tunneled chip (CLAUDE.md).  No-op when running CPU-only.
+
+    The lock dir records its holder's pid in ``owner``; a lock whose holder
+    is dead (or, with no owner recorded, older than `stale_s`) is stolen by
+    atomically renaming the dir aside (rename picks exactly one winner, so
+    two stealers can never both proceed) and removing it.  Release verifies
+    ownership first, so a holder that was stolen from never deletes the
+    thief's lock.  SIGTERM (e.g. coreutils `timeout`) exits via SystemExit
+    so the atexit release still runs."""
     if not os.environ.get("PALLAS_AXON_POOL_IPS", ""):
         return
+    import shutil
+
     t0 = time.time()
     warned = False
     while True:
@@ -57,12 +93,22 @@ def acquire_tpu_lock(max_wait_s: float = 7200.0, stale_s: float = 10800.0):
             LOCK.mkdir()
             break
         except FileExistsError:
-            try:
-                if time.time() - LOCK.stat().st_mtime > stale_s:
-                    LOCK.rmdir()
-                    continue
-            except OSError:
-                continue  # raced with the holder's release
+            alive = _lock_owner_alive()
+            if alive is None:
+                try:
+                    stale = time.time() - LOCK.stat().st_mtime > stale_s
+                except OSError:
+                    continue  # raced with the holder's release
+            else:
+                stale = not alive
+            if stale:
+                grave = LOCK.with_name(f"{LOCK.name}.stale.{os.getpid()}")
+                try:
+                    os.rename(LOCK, grave)
+                except OSError:
+                    continue  # another stealer won, or the holder released
+                shutil.rmtree(grave, ignore_errors=True)
+                continue
             if not warned:
                 print(
                     "# waiting for the TPU lock (another tnqs TPU process "
@@ -76,9 +122,15 @@ def acquire_tpu_lock(max_wait_s: float = 7200.0, stale_s: float = 10800.0):
                     f"{LOCK} if its holder crashed"
                 )
             time.sleep(30)
+    (LOCK / "owner").write_text(str(os.getpid()))
     import atexit
+    import signal
 
-    atexit.register(lambda: LOCK.rmdir() if LOCK.exists() else None)
+    atexit.register(_release_tpu_lock)
+    try:
+        signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
+    except ValueError:
+        pass  # not the main thread; atexit alone will have to do
 
 
 def wait_for_tpu(max_wait_s: float | None = None):

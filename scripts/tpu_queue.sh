@@ -2,8 +2,11 @@
 # Wait for the tunneled TPU to come back, then run the round-3 pjsvd
 # validation chain sequentially (ONE TPU process at a time — concurrent
 # axon processes wedge the chip; see CLAUDE.md).  Every TPU touch holds
-# /tmp/tnqs_tpu.lock, shared with bench.py's acquire_tpu_lock(), so a
-# driver-launched bench and this queue never overlap on the chip.
+# /tmp/tnqs_tpu.lock (scripts/tpu_lock.sh, shared with bench.py's
+# acquire_tpu_lock()), so a driver-launched bench and this queue never
+# overlap on the chip.  Writes /tmp/tpu_queue.done when finished so
+# stage 2 (tpu_queue2.sh) can order on a marker instead of a recyclable
+# pid.
 #
 #   1. scripts/microbench_svd.py            — pjsvd vs XLA SVD speed/accuracy
 #   2. scripts/tpu_parity_check.py (pjsvd)  — 10-layer chi=64 Eagle trajectory
@@ -12,25 +15,11 @@
 LOG=${1:-/tmp/tpu_queue.log}
 cd "$(dirname "$0")/.."
 exec >>"$LOG" 2>&1
-
-LOCK=/tmp/tnqs_tpu.lock
-with_lock() {
-  # steal locks older than 3h (crashed holder)
-  while ! mkdir "$LOCK" 2>/dev/null; do
-    if [ -d "$LOCK" ] && [ "$(( $(date +%s) - $(stat -c %Y "$LOCK" 2>/dev/null || echo 0) ))" -gt 10800 ]; then
-      rmdir "$LOCK" 2>/dev/null
-      continue
-    fi
-    sleep 30
-  done
-  "$@"
-  rc=$?
-  rmdir "$LOCK" 2>/dev/null
-  return $rc
-}
+. scripts/tpu_lock.sh
+rm -f /tmp/tpu_queue.done
 
 probe() {
-  timeout 150 python -c "
+  timeout -k 10 150 python -c "
 import jax, numpy as np, jax.numpy as jnp
 d = jax.devices()
 x = jnp.ones((128, 128), jnp.float32)
@@ -47,11 +36,12 @@ until with_lock probe; do
 done
 
 echo "=== TPU back $(date): microbench_svd ==="
-with_lock timeout 3600 python scripts/microbench_svd.py || echo "MICROBENCH FAILED rc=$?"
+with_lock timeout -k 30 3600 python scripts/microbench_svd.py || echo "MICROBENCH FAILED rc=$?"
 
 echo "=== tpu_parity_check --trunc svd --svd-impl pjsvd $(date) ==="
-TNQS_SVD_IMPL=pjsvd with_lock timeout 5400 python scripts/tpu_parity_check.py \
+TNQS_SVD_IMPL=pjsvd with_lock timeout -k 30 5400 python scripts/tpu_parity_check.py \
   --trunc svd --svd-impl pjsvd \
   --out tests/golden/tpu_parity_chi64_pjsvd.json || echo "PARITY FAILED rc=$?"
 
+touch /tmp/tpu_queue.done
 echo "=== tpu_queue done $(date) ==="
