@@ -288,3 +288,51 @@ def test_pjsvd_engine_dispatch(rng):
         z = eng.expect_1site("Z")
         zs[impl] = np.array([float(np.real(z[v])) for v in sorted(z)])
     assert np.max(np.abs(zs["pjsvd"] - zs["xla"])) < 5e-4
+
+
+def test_pjsvd_certified_gate(tmp_path):
+    """`svd_impl="auto"` must never route to the Pallas kernel without a
+    committed ON-CHIP parity artifact that clears the production bar
+    (the flex-f32 control floor of the xla-SVD artifact)."""
+    import json
+
+    from tnqs.ops.osj import pjsvd_certified
+
+    ref = {"backend": "tpu", "f32_floor_per_layer": [1e-6, 5e-6]}
+    # empty dir: no artifact -> not certified
+    assert not pjsvd_certified(tmp_path)
+    (tmp_path / "tpu_parity_chi64.json").write_text(json.dumps(ref))
+    # candidate missing -> not certified
+    assert not pjsvd_certified(tmp_path)
+    # candidate over the floor -> not certified
+    cand = {"backend": "tpu", "dev_from_f64_per_layer": [1e-6, 6e-6]}
+    (tmp_path / "tpu_parity_chi64_pjsvd.json").write_text(json.dumps(cand))
+    assert not pjsvd_certified(tmp_path)
+    # candidate at/below the floor -> certified
+    cand["dev_from_f64_per_layer"] = [1e-6, 4e-6]
+    (tmp_path / "tpu_parity_chi64_pjsvd.json").write_text(json.dumps(cand))
+    assert pjsvd_certified(tmp_path)
+    # a CPU-run candidate never certifies, however good its numbers
+    cand["backend"] = "cpu"
+    (tmp_path / "tpu_parity_chi64_pjsvd.json").write_text(json.dumps(cand))
+    assert not pjsvd_certified(tmp_path)
+
+
+def test_svd_impl_auto_resolves_on_cpu():
+    """On CPU, "auto" must resolve to the XLA SVD (the kernel is
+    TPU-gated), and the env override must still win."""
+    import tnqs
+    from tnqs.engine import LatticeEngine
+
+    g = tnqs.named_grid((2, 2))
+    psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+    eng = LatticeEngine(psi, chi=4, dtype=jnp.complex64)
+    assert eng.svd_impl == "xla"
+    import os
+
+    os.environ["TNQS_SVD_IMPL"] = "pjsvd"
+    try:
+        eng2 = LatticeEngine(psi, chi=4, dtype=jnp.complex64)
+        assert eng2.svd_impl == "pjsvd"
+    finally:
+        del os.environ["TNQS_SVD_IMPL"]

@@ -649,17 +649,27 @@ class LatticeEngine:
         # graded/backward-stable error structure as a direct SVD (nothing
         # squares or divides by a small singular value on the output path)
         # at a fraction of the cost of XLA's QDWH + spectral
-        # divide-and-conquer; "xla" = jnp.linalg.svd.  "auto" currently
-        # resolves to xla everywhere: pjsvd matches the XLA trajectory on
-        # CPU (`tests/test_ops.py`) but Pallas kernels have a record of
-        # CPU-green/TPU-wrong behavior on this backend
-        # (docs/performance.md, "the NaN hunt"), so pjsvd stays opt-in
-        # (TNQS_SVD_IMPL=pjsvd) until an on-chip 10-layer parity artifact
-        # (`scripts/tpu_parity_check.py --trunc svd --svd-impl pjsvd`)
-        # is committed.  TNQS_SVD_IMPL overrides.
+        # divide-and-conquer; "xla" = jnp.linalg.svd.  "auto" resolves to
+        # pjsvd on TPU IFF a committed on-chip 10-layer parity artifact
+        # certifies the kernel at the production bar
+        # (`tnqs.ops.osj.pjsvd_certified`; artifact written by
+        # `scripts/tpu_parity_check.py --trunc svd --svd-impl pjsvd`,
+        # gate = the flex-f32 control floor), and to xla everywhere else:
+        # pjsvd matches the XLA trajectory on CPU (`tests/test_ops.py`)
+        # but Pallas kernels have a record of CPU-green/TPU-wrong behavior
+        # on this backend (docs/performance.md, "the NaN hunt"), so
+        # nothing routes to the kernel without chip evidence.
+        # TNQS_SVD_IMPL overrides.
         self.svd_impl = _os.environ.get("TNQS_SVD_IMPL", "") or "auto"
         if self.svd_impl not in ("auto", "pjsvd", "xla"):
             raise ValueError(f"unknown svd_impl {self.svd_impl!r}")
+        if self.svd_impl == "auto":
+            if jax.default_backend() == "tpu":
+                from .ops.osj import pjsvd_certified
+
+                self.svd_impl = "pjsvd" if pjsvd_certified() else "xla"
+            else:
+                self.svd_impl = "xla"
         # Precision of the BP message sweeps, the step's FLOPs hot spot
         # (~70% at chi=64).  None inherits the global policy (highest);
         # "high" (bf16_3x) is ~3x faster per sweep — validated to stay

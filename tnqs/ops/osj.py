@@ -58,6 +58,40 @@ except Exception:  # pragma: no cover
     pltpu = None
     _HAVE_PLTPU = False
 
+
+def pjsvd_certified(golden_dir=None) -> bool:
+    """True iff a committed ON-CHIP parity artifact certifies pjsvd.
+
+    The gate (same rule as `scripts/tpu_queue2.sh`): the 10-layer chi=64
+    Eagle trajectory run with ``--svd-impl pjsvd``
+    (`scripts/tpu_parity_check.py`) must deviate from the flex-f64 oracle
+    by no more than the flex-f32 control floor recorded in the xla-SVD
+    artifact — i.e. pjsvd must clear the exact bar the production XLA-SVD
+    path cleared.  Pallas kernels have a record of CPU-green/TPU-wrong
+    behavior on this backend (docs/performance.md, "the NaN hunt"), so
+    nothing routes to the kernel by default without this artifact.
+    """
+    import json
+    import pathlib
+
+    d = (
+        pathlib.Path(golden_dir)
+        if golden_dir is not None
+        else pathlib.Path(__file__).resolve().parent.parent.parent
+        / "tests"
+        / "golden"
+    )
+    try:
+        cand = json.loads((d / "tpu_parity_chi64_pjsvd.json").read_text())
+        ref = json.loads((d / "tpu_parity_chi64.json").read_text())
+        if cand.get("backend") != "tpu":
+            return False
+        dev = max(cand["dev_from_f64_per_layer"])
+        floor = max(ref["f32_floor_per_layer"])
+        return bool(dev <= floor)
+    except Exception:
+        return False
+
 Array = jax.Array
 
 
