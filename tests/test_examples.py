@@ -19,7 +19,14 @@ SCRIPTS = [
     "boundarymps_convergence.py",
     "loop_corrections.py",
     "engine_heavyhex_production.py",
+    "variational_groundstate.py",
 ]
+
+
+def test_all_examples_listed():
+    """Every script in examples/ must be in SCRIPTS (and so smoke-tested)."""
+    on_disk = {p.name for p in EXAMPLES_DIR.glob("*.py")}
+    assert on_disk == set(SCRIPTS)
 
 
 @pytest.mark.parametrize("script", SCRIPTS)

@@ -1,0 +1,166 @@
+"""Differentiable variational ground-state search (`tnqs.variational`).
+
+Oracles: analytic product-state energies, dense exact diagonalization
+(statevector built from explicit Pauli matrices, independent of the TN
+machinery), and finite differences for the gradient itself.  On trees BP
+expectations are exact, so the BP variational energy IS the Rayleigh
+quotient and must reach the true ground energy at sufficient chi.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import tnqs
+from tnqs.engine import LatticeEngine
+from tnqs.variational import (
+    bp_energy_fn,
+    heisenberg_hamiltonian,
+    minimize_energy,
+    tfim_hamiltonian,
+)
+
+I2 = np.eye(2)
+Z = np.diag([1.0, -1.0])
+X = np.array([[0.0, 1.0], [1.0, 0.0]])
+Y = np.array([[0.0, -1.0j], [1.0j, 0.0]])
+
+
+def _op_at(m, i, n):
+    out = np.array([[1.0 + 0j]])
+    for k in range(n):
+        out = np.kron(out, m if k == i else I2)
+    return out
+
+
+def _line_engine(n, chi, seed=0, noise=0.05):
+    g = tnqs.named_grid((1, n))
+    psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+    eng = LatticeEngine(psi, chi=chi, dtype=jnp.complex64)
+    if noise:
+        rng = np.random.default_rng(seed)
+        eng.T = {
+            k: jnp.asarray(
+                np.asarray(a)
+                + noise
+                * (
+                    rng.standard_normal(a.shape)
+                    + 1j * rng.standard_normal(a.shape)
+                ).astype(np.complex64)
+            )
+            for k, a in eng.T.items()
+        }
+    return eng
+
+
+def test_bp_energy_product_state_analytic():
+    """|↑...↑> under TFIM: <ZZ> = 1 per edge, <X> = 0 per site, so
+    E = -J * n_edges exactly (messages from deltas, no optimization)."""
+    n, J, h = 6, 0.8, 0.37
+    eng = _line_engine(n, chi=4, noise=0.0)
+    efn = bp_energy_fn(eng, tfim_hamiltonian(J=J, h=h), bp_iters=12)
+    e = float(efn(eng.T))
+    assert abs(e - (-J * (n - 1))) < 1e-4
+
+
+def test_bp_energy_gradient_matches_finite_difference():
+    """jax.grad of the BP energy vs central differences on a few real and
+    imaginary coordinates (3-site line, chi=2, c64 => ~1e-2 FD accuracy)."""
+    eng = _line_engine(3, chi=2, seed=1, noise=0.2)
+    efn = bp_energy_fn(eng, tfim_hamiltonian(J=1.0, h=0.7), bp_iters=10)
+
+    def split(T):
+        return {k: (jnp.real(a), jnp.imag(a)) for k, a in T.items()}
+
+    def loss(params):
+        T = {
+            k: jax.lax.complex(re, im).astype(jnp.complex64)
+            for k, (re, im) in params.items()
+        }
+        return efn(T)
+
+    params = split(eng.T)
+    g = jax.grad(loss)(params)
+    eps = 1e-2
+    rng = np.random.default_rng(2)
+    for k in params:
+        for part in (0, 1):
+            arr = np.asarray(params[k][part])
+            idx = tuple(rng.integers(0, s) for s in arr.shape)
+            for sign in (+1, -1):
+                pert = dict(params)
+                a = arr.copy()
+                a[idx] += sign * eps
+                pair = list(pert[k])
+                pair[part] = jnp.asarray(a)
+                pert[k] = tuple(pair)
+                if sign > 0:
+                    ep = float(loss(pert))
+                else:
+                    em = float(loss(pert))
+            fd = (ep - em) / (2 * eps)
+            ad = float(np.asarray(g[k][part])[idx])
+            assert abs(fd - ad) < 5e-2 * max(1.0, abs(fd)), (k, part, fd, ad)
+
+
+def test_variational_tfim_line_reaches_exact_ground_energy():
+    """6-site open TFIM chain (J=1, h=0.5): minimized BP energy vs dense
+    ED.  The line is a tree, so the BP energy is the exact Rayleigh
+    quotient — the optimum must sit on/above E0 and converge to it."""
+    n, J, h = 6, 1.0, 0.5
+    eng = _line_engine(n, chi=4, seed=0)
+    ham = tfim_hamiltonian(J=J, h=h)
+    e_init = float(bp_energy_fn(eng, ham, bp_iters=14)(eng.T))
+    res = minimize_energy(eng, ham, steps=150, learning_rate=0.05, bp_iters=14)
+
+    H = sum(-J * _op_at(Z, i, n) @ _op_at(Z, i + 1, n) for i in range(n - 1))
+    H = H + sum(-h * _op_at(X, i, n) for i in range(n))
+    e0 = float(np.linalg.eigvalsh(H)[0])
+
+    assert res["energy"] < e_init  # it optimized
+    assert res["energy"] > e0 - 5e-3  # variational bound (tree => exact BP)
+    assert abs(res["energy"] - e0) / abs(e0) < 5e-3
+    # the engine was updated in place: its own expectation agrees
+    zz = eng.expect_2site("Z", "Z")
+    xs = eng.expect_1site("X")
+    e_eng = -J * sum(np.real(v) for v in zz.values()) - h * sum(
+        np.real(v) for v in xs.values()
+    )
+    assert abs(e_eng - res["energy"]) < 1e-3
+
+
+def test_variational_heisenberg_line_reaches_exact_ground_energy():
+    """4-site spin-1/2 Heisenberg chain vs dense ED (singlet formation
+    requires genuinely complex entangled tensors — exercises the XX/YY
+    terms and the complex parameterization)."""
+    n, J = 4, 1.0
+    eng = _line_engine(n, chi=4, seed=3, noise=0.15)
+    ham = heisenberg_hamiltonian(J=J)
+    res = minimize_energy(eng, ham, steps=250, learning_rate=0.05, bp_iters=12)
+
+    H = np.zeros((2**n, 2**n), dtype=complex)
+    for i in range(n - 1):
+        for m in (X, Y, Z):
+            H += (J / 4.0) * _op_at(m, i, n) @ _op_at(m, i + 1, n)
+    e0 = float(np.linalg.eigvalsh(H)[0])
+
+    assert res["energy"] > e0 - 5e-3
+    assert abs(res["energy"] - e0) / abs(e0) < 1e-2
+
+
+def test_inhomogeneous_coefficients():
+    """Dict-valued coefficients select vertices/edges (missing keys = 0)."""
+    n = 4
+    eng = _line_engine(n, chi=2, noise=0.0)
+    g = eng.plan.graph
+    verts = list(g.vertices())
+    edges = list(g.edges())
+    ham = tnqs.Hamiltonian(
+        fields=(("Z", {verts[0]: 2.0}),),
+        bonds=(("Z", "Z", {edges[0]: -3.0}),),
+    )
+    efn = bp_energy_fn(eng, ham, bp_iters=8)
+    # product |↑...↑>: <Z>=1 on the selected vertex, <ZZ>=1 on the edge
+    assert abs(float(efn(eng.T)) - (2.0 - 3.0)) < 1e-4

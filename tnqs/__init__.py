@@ -227,6 +227,13 @@ from .sampling import (
     sample_certified,
     sample_directly_certified,
 )
+from .variational import (
+    Hamiltonian,
+    bp_energy_fn,
+    heisenberg_hamiltonian,
+    minimize_energy,
+    tfim_hamiltonian,
+)
 
 # Julia-style aliases for API parity with the reference exports
 register_gate_bang = register_gate
