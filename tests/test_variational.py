@@ -164,3 +164,50 @@ def test_inhomogeneous_coefficients():
     efn = bp_energy_fn(eng, ham, bp_iters=8)
     # product |↑...↑>: <Z>=1 on the selected vertex, <ZZ>=1 on the edge
     assert abs(float(efn(eng.T)) - (2.0 - 3.0)) < 1e-4
+
+
+def test_variational_loopy_state_respects_exact_bound():
+    """On a loopy 2x3 grid the BP energy is not a strict bound — but the
+    EXACT Rayleigh quotient of the optimized state must be, and a good
+    optimization should land it near the dense-ED ground energy."""
+    J, h = 1.0, 2.0  # paramagnetic side: BP environments are accurate
+    g = tnqs.named_grid((2, 3))
+    psi0 = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+    eng = LatticeEngine(psi0, chi=4, dtype=jnp.complex64)
+    rng = np.random.default_rng(5)
+    eng.T = {
+        k: jnp.asarray(
+            np.asarray(a)
+            + 0.05
+            * (
+                rng.standard_normal(a.shape) + 1j * rng.standard_normal(a.shape)
+            ).astype(np.complex64)
+        )
+        for k, a in eng.T.items()
+    }
+    ham = tfim_hamiltonian(J=J, h=h)
+    res = minimize_energy(eng, ham, steps=150, learning_rate=0.05, bp_iters=14)
+
+    # exact Rayleigh quotient of the optimized state via flex exact
+    # contraction (independent of BP)
+    psi = eng.to_state()
+    verts = list(g.vertices())
+    e_exact = 0.0
+    for v in verts:
+        e_exact += -h * np.real(complex(tnqs.expect(psi, ("X", [v]), alg="exact")))
+    for (u, v) in g.edges():
+        e_exact += -J * np.real(
+            complex(tnqs.expect(psi, ("ZZ", [u, v]), alg="exact"))
+        )
+
+    n = len(verts)
+    pos = {v: i for i, v in enumerate(verts)}
+    H = sum(-h * _op_at(X, i, n) for i in range(n))
+    for (u, v) in g.edges():
+        H = H + (-J) * _op_at(Z, pos[u], n) @ _op_at(Z, pos[v], n)
+    e0 = float(np.linalg.eigvalsh(H)[0])
+
+    assert e_exact >= e0 - 1e-4          # true variational bound
+    assert abs(e_exact - e0) / abs(e0) < 2e-2
+    # BP energy and exact quotient should agree well in the paramagnet
+    assert abs(res["energy"] - e_exact) / abs(e0) < 2e-2
