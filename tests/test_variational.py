@@ -211,3 +211,82 @@ def test_variational_loopy_state_respects_exact_bound():
     assert abs(e_exact - e0) / abs(e0) < 2e-2
     # BP energy and exact quotient should agree well in the paramagnet
     assert abs(res["energy"] - e_exact) / abs(e0) < 2e-2
+
+
+def test_sharded_energy_and_gradient_match_unsharded():
+    """`sharded_bp_energy_fn` (halo-exchange shard_map BP over the
+    8-device CPU mesh) must reproduce the single-device energy and its
+    jax.grad to f32 eps — same synchronous stage schedule, different
+    executors."""
+    from tnqs.variational import sharded_bp_energy_fn
+
+    g = tnqs.named_grid((8, 2))  # 16 sites -> 8 bands of 2
+    psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+    eng = LatticeEngine(psi, chi=4, dtype=jnp.complex64)
+    rng = np.random.default_rng(0)
+    eng.T = {
+        k: jnp.asarray(
+            np.asarray(a)
+            + 0.1
+            * (
+                rng.standard_normal(a.shape) + 1j * rng.standard_normal(a.shape)
+            ).astype(np.complex64)
+        )
+        for k, a in eng.T.items()
+    }
+    ham = tfim_hamiltonian(J=1.0, h=1.3)
+    e_u = bp_energy_fn(eng, ham, bp_iters=18)
+    e_s = sharded_bp_energy_fn(eng, ham, n_bands=8, bp_iters=18)
+    vu, vs = float(e_u(eng.T)), float(e_s(eng.T))
+    assert abs(vu - vs) < 1e-4 * max(1.0, abs(vu))
+
+    def mk_loss(efn):
+        def loss(p):
+            T = {
+                k: jax.lax.complex(re, im).astype(jnp.complex64)
+                for k, (re, im) in p.items()
+            }
+            return efn(T)
+
+        return loss
+
+    p = {k: (jnp.real(a), jnp.imag(a)) for k, a in eng.T.items()}
+    gu = jax.grad(mk_loss(e_u))(p)
+    gs = jax.grad(mk_loss(e_s))(p)
+    md = max(
+        float(jnp.max(jnp.abs(gu[k][i] - gs[k][i]))) for k in gu for i in (0, 1)
+    )
+    sc = max(float(jnp.max(jnp.abs(gu[k][i]))) for k in gu for i in (0, 1))
+    assert md < 1e-4 * sc, (md, sc)
+
+
+def test_minimize_energy_on_mesh():
+    """minimize_energy(mesh=...) optimizes through the sharded program and
+    lands at the same energy as the single-device run."""
+    from tnqs.parallel.mesh import make_mesh
+
+    g = tnqs.named_grid((8, 2))
+    psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+
+    def fresh():
+        eng = LatticeEngine(psi, chi=2, dtype=jnp.complex64)
+        rng = np.random.default_rng(7)
+        eng.T = {
+            k: jnp.asarray(
+                np.asarray(a)
+                + 0.1
+                * (
+                    rng.standard_normal(a.shape)
+                    + 1j * rng.standard_normal(a.shape)
+                ).astype(np.complex64)
+            )
+            for k, a in eng.T.items()
+        }
+        return eng
+
+    ham = tfim_hamiltonian(J=1.0, h=1.3)
+    r0 = minimize_energy(fresh(), ham, steps=30, learning_rate=0.05, bp_iters=12)
+    r1 = minimize_energy(
+        fresh(), ham, steps=30, learning_rate=0.05, bp_iters=12, mesh=make_mesh(8)
+    )
+    assert abs(r0["energy"] - r1["energy"]) < 1e-3 * max(1.0, abs(r0["energy"]))

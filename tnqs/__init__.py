@@ -232,6 +232,7 @@ from .variational import (
     bp_energy_fn,
     heisenberg_hamiltonian,
     minimize_energy,
+    sharded_bp_energy_fn,
     tfim_hamiltonian,
 )
 

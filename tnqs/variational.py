@@ -80,23 +80,17 @@ def _edge_coeff(coeff, e) -> float:
     return float(coeff)
 
 
-def bp_energy_fn(engine, ham: Hamiltonian, bp_iters: int = 16) -> Callable:
-    """Pure function ``energy(T) -> real scalar`` on the engine's padded
-    site-tensor pytree.
+def _real_dtype(engine):
+    return jnp.float64 if engine.dtype == jnp.complex128 else jnp.float32
 
-    BP runs `bp_iters` fixed synchronous sweeps from delta messages (a
-    `lax.scan` with a rematerialized body, so memory stays one sweep deep
-    under reverse AD) — fixed iterations rather than the engine's
-    `while_loop` fixed point because `lax.while_loop` is not
-    reverse-differentiable.  Choose `bp_iters` >= the graph diameter so
-    messages globally equilibrate (16 covers every lattice in the test
-    zoo; trees need exactly the diameter).
-    """
+
+def _precompute_terms(engine, ham: Hamiltonian):
+    """Resolve operator matrices and per-bucket/per-edge-class coefficient
+    vectors once (host-side, static per (engine, ham))."""
     plan = engine.plan
     from .sitetypes import op_matrix
 
-    rdtype = jnp.float64 if engine.dtype == jnp.complex128 else jnp.float32
-
+    rdtype = _real_dtype(engine)
     field_terms = []
     for (opname, coeff) in ham.fields:
         op = jnp.asarray(np.asarray(op_matrix(opname, engine.d)), engine.dtype)
@@ -118,7 +112,36 @@ def bp_energy_fn(engine, ham: Hamiltonian, bp_iters: int = 16) -> Callable:
             for (_ku, _kv, edges, *_rest) in ecls
         ]
         bond_terms.append((mats, cvecs))
+    return field_terms, bond_terms
 
+
+def _expectation_energy(engine, field_terms, bond_terms, T, M, rdtype):
+    e = jnp.zeros((), rdtype)
+    for op, cvecs in field_terms:
+        outs = engine._expect_1site_all(T, M, op)
+        for k, vals in outs.items():
+            e = e + jnp.sum(cvecs[k] * jnp.real(vals).astype(rdtype))
+    for (mu, mv), cvecs in bond_terms:
+        outs = engine._expect_2site_all(T, M, mu, mv)
+        for cv, vals in zip(cvecs, outs):
+            e = e + jnp.sum(cv * jnp.real(vals).astype(rdtype))
+    return e
+
+
+def bp_energy_fn(engine, ham: Hamiltonian, bp_iters: int = 16) -> Callable:
+    """Pure function ``energy(T) -> real scalar`` on the engine's padded
+    site-tensor pytree.
+
+    BP runs `bp_iters` fixed synchronous sweeps from delta messages (a
+    `lax.scan` with a rematerialized body, so memory stays one sweep deep
+    under reverse AD) — fixed iterations rather than the engine's
+    `while_loop` fixed point because `lax.while_loop` is not
+    reverse-differentiable.  Choose `bp_iters` >= the graph diameter so
+    messages globally equilibrate (16 covers every lattice in the test
+    zoo; trees need exactly the diameter).
+    """
+    rdtype = _real_dtype(engine)
+    field_terms, bond_terms = _precompute_terms(engine, ham)
     M0 = engine._initial_messages()
 
     def energy(T):
@@ -126,16 +149,73 @@ def bp_energy_fn(engine, ham: Hamiltonian, bp_iters: int = 16) -> Callable:
             return engine._bp_new_messages(T, M), None
 
         M, _ = lax.scan(jax.checkpoint(body), M0, None, length=bp_iters)
-        e = jnp.zeros((), rdtype)
-        for op, cvecs in field_terms:
-            outs = engine._expect_1site_all(T, M, op)
-            for k, vals in outs.items():
-                e = e + jnp.sum(cvecs[k] * jnp.real(vals).astype(rdtype))
-        for (mu, mv), cvecs in bond_terms:
-            outs = engine._expect_2site_all(T, M, mu, mv)
-            for cv, vals in zip(cvecs, outs):
-                e = e + jnp.sum(cv * jnp.real(vals).astype(rdtype))
-        return e
+        return _expectation_energy(engine, field_terms, bond_terms, T, M, rdtype)
+
+    return energy
+
+
+def sharded_bp_energy_fn(
+    engine,
+    ham: Hamiltonian,
+    mesh=None,
+    n_bands: int | None = None,
+    bp_iters: int = 16,
+    order=None,
+) -> Callable:
+    """`bp_energy_fn`, with the BP sweeps executed as the halo-exchange
+    `shard_map` program over a 1-D device mesh (`tnqs.parallel.halo`).
+
+    Everything stays inside one differentiable jitted program: the site
+    tensors are scattered into per-band shards with gather indexing (pure
+    JAX, so gradients flow back through the band layout), `bp_iters`
+    sharded sweeps run under `lax.scan` (ppermute halo exchanges
+    transpose to the reverse ppermute under AD), the converged messages
+    gather back to the global edge layout, and the expectation sums run
+    on the full state.  Gradient = `jax.grad` straight through the
+    collective program — mesh-parallel variational ground-state search.
+    """
+    from .parallel.halo import HaloBP, HaloBandPlan
+    from .parallel.mesh import make_mesh
+
+    if mesh is None:
+        mesh = make_mesh(n_bands)
+    D = int(mesh.devices.size)
+    hplan = HaloBandPlan.build(engine.plan, D, order=order)
+    hbp = HaloBP(engine, hplan, mesh)
+    sweep = hbp._make_sweep()
+
+    rdtype = _real_dtype(engine)
+    field_terms, bond_terms = _precompute_terms(engine, ham)
+
+    chi = engine.chi
+    pos_maps = {k: jnp.asarray(hplan.band_vert_pos[k]) for k in engine.T}
+    n_slots = hplan.n_loc + 1 + hplan.n_up + hplan.n_dn
+    E2 = engine.plan.num_edges
+    band_arr = np.zeros(E2, np.int32)
+    slot_arr = np.zeros(E2, np.int32)
+    for e, eid in engine.plan.edge_ids.items():
+        b, s = hplan.eid_to_band_slot[e]
+        band_arr[eid] = b
+        slot_arr[eid] = s
+    band_arr, slot_arr = jnp.asarray(band_arr), jnp.asarray(slot_arr)
+    Mb0 = jnp.broadcast_to(
+        jnp.eye(chi, dtype=engine.dtype) / chi, (D, n_slots, chi, chi)
+    )
+
+    def energy(T):
+        Tb = {}
+        for k, arr in T.items():
+            pos = pos_maps[k]  # [D, nb], -1 pads
+            gathered = arr[jnp.clip(pos, 0)]  # [D, nb, d, chi x k]
+            mask = (pos >= 0).astype(arr.dtype)
+            Tb[k] = gathered * mask.reshape(mask.shape + (1,) * (arr.ndim - 1))
+
+        def body(Mb, _):
+            return sweep(Tb, Mb), None
+
+        Mb, _ = lax.scan(jax.checkpoint(body), Mb0, None, length=bp_iters)
+        M = Mb[band_arr, slot_arr]  # back to the global [2E, chi, chi] layout
+        return _expectation_energy(engine, field_terms, bond_terms, T, M, rdtype)
 
     return energy
 
@@ -158,6 +238,7 @@ def minimize_energy(
     bp_iters: int = 16,
     optimizer: Any = None,
     callback: Callable | None = None,
+    mesh=None,
 ) -> dict:
     """Variational ground-state search: gradient-descend the BP energy
     over the engine's site tensors (optax Adam by default).
@@ -168,14 +249,19 @@ def minimize_energy(
     or the output of a few imaginary-time layers, for best convergence.
     On success the engine is updated in place (tensors + converged
     messages).  Returns ``{"energy": float, "history": np.ndarray,
-    "steps": int}``.
+    "steps": int}``.  Pass ``mesh`` (a 1-D `jax.sharding.Mesh`) to run
+    the BP sweeps as the halo-exchange shard_map program over the device
+    mesh (`sharded_bp_energy_fn`).
     """
     import optax
 
     if optimizer is None:
         optimizer = optax.adam(learning_rate)
 
-    efn = bp_energy_fn(engine, ham, bp_iters=bp_iters)
+    if mesh is not None:
+        efn = sharded_bp_energy_fn(engine, ham, mesh=mesh, bp_iters=bp_iters)
+    else:
+        efn = bp_energy_fn(engine, ham, bp_iters=bp_iters)
     dtype = engine.dtype
 
     def loss(params):
