@@ -18,10 +18,26 @@ on the same host.  The reference publishes no numbers of its own
 (`BASELINE.json "published": {}`), so the architectural baseline is the
 honest comparison available without Julia.
 
-Prints exactly one JSON line:
+Output contract (driver parses a JSON line from the output tail): the
+headline JSON line
+
   {"metric": ..., "value": N, "unit": "layers/sec", "vs_baseline": N}
 
+is printed (flushed) IMMEDIATELY after the flagship evolve stage, so a
+driver timeout during the optional stages still captures the headline
+(round 3's `BENCH_r03.json` was rc=124/void because the old layout printed
+only after every stage).  If any optional stage ran, the same line is
+re-printed at exit enriched with the optional-stage keys and a per-stage
+`stages: {...}` wall-clock map (verdict r3 item 9) — the headline keys are
+identical in both lines, so first-line and last-line parsers agree.
+
+Every optional stage runs under a total wall-clock budget
+(`TNQS_BENCH_BUDGET` seconds from process start, default 2400); a stage
+whose estimated cost exceeds the remaining budget is skipped with a
+stderr note instead of silently outliving the driver.
+
 Env knobs: TNQS_BENCH_FAST=1 (tiny smoke config), TNQS_BENCH_STEPS=n,
+TNQS_BENCH_BUDGET=secs (total wall-clock bound, 0 disables),
 TNQS_BENCH_SKIP_FASTMODE=1 (skip the subspace fast-mode throughput stage),
 TNQS_BENCH_FORCE_FLEX=1 (re-measure the host flex baseline instead of using
 the cached `.bench_flex_baseline.json`), TNQS_PROFILE=<dir> (xprof trace of
@@ -41,6 +57,16 @@ import numpy as np
 FAST = bool(os.environ.get("TNQS_BENCH_FAST"))
 CACHE = pathlib.Path(__file__).resolve().parent / ".bench_flex_baseline.json"
 LOCK = pathlib.Path("/tmp/tnqs_tpu.lock")
+
+T0 = time.time()
+BUDGET = float(os.environ.get("TNQS_BENCH_BUDGET", "2400"))
+
+
+def remaining_budget() -> float:
+    """Seconds left in the total wall-clock budget (inf when disabled)."""
+    if BUDGET <= 0:
+        return float("inf")
+    return BUDGET - (time.time() - T0)
 
 
 def _lock_owner_alive():
@@ -144,6 +170,11 @@ def wait_for_tpu(max_wait_s: float | None = None):
         return
     if max_wait_s is None:
         max_wait_s = float(os.environ.get("TNQS_BENCH_TPU_WAIT", "3600"))
+        # never let the wait eat the whole budget: the flagship evolve needs
+        # ~900 s worst-case (cold remote compile) after the chip answers
+        rem = remaining_budget()
+        if rem != float("inf"):
+            max_wait_s = max(0.0, min(max_wait_s, rem - 900.0))
     if max_wait_s <= 0:
         return
     import subprocess
@@ -450,7 +481,17 @@ def bench_workload2_flex(cache: dict | None):
     )
 
 
-def julia_bound_lps(g, layer, chi, flex_lps):
+def flex_overhead_probe(g, layer) -> float:
+    """Seconds for one chi=2 flex layer (interpreter/bookkeeping-dominated,
+    BLAS negligible).  Doubles as (a) the subtrahend of the CPU-Julia BLAS
+    bound and (b) the load-contamination detector for the cached chi=64
+    flex baseline (verdict r3 weak 2): both the chi=2 and chi=64 layers are
+    single-core host work, so a cached baseline recorded at a much slower
+    chi=2 time than a fresh probe was measured on a loaded host."""
+    return 1.0 / bench_flex(g, layer, 2)
+
+
+def julia_bound_lps(g, layer, chi, flex_lps, t_overhead=None):
     """BLAS-bound upper estimate of CPU-Julia layers/sec on this host.
 
     No Julia exists in this environment, so bound it from above: the
@@ -463,7 +504,8 @@ def julia_bound_lps(g, layer, chi, flex_lps):
     `docs/performance.md`.
     """
     t_full = 1.0 / flex_lps
-    t_overhead = 1.0 / bench_flex(g, layer, 2)
+    if t_overhead is None:
+        t_overhead = flex_overhead_probe(g, layer)
     t_blas = t_full - t_overhead
     if chi < 32 or t_blas < 0.2 * t_full:
         # overhead-dominated regime (smoke configs): the subtraction is
@@ -473,16 +515,22 @@ def julia_bound_lps(g, layer, chi, flex_lps):
 
 
 def main():
+    stages: dict[str, float] = {}
     acquire_tpu_lock()
     wait_for_tpu()
     g, layer, chi = build_workload()
     steps = int(os.environ.get("TNQS_BENCH_STEPS", "5" if FAST else "20"))
+    t0 = time.time()
     layers_per_sec, compile_s, eng = bench_engine(g, layer, chi, steps)
+    stages["evolve"] = round(time.time() - t0, 1)
 
     # The flex baseline is a host-CPU measurement and stable across runs, so
     # reuse the cached value unless forced — but only a cache produced on
     # THIS host (keyed by hostname), so a committed/foreign cache is never
-    # silently divided into a local engine measurement.
+    # silently divided into a local engine measurement; AND only after a
+    # fresh chi=2 probe agrees with the cached probe within 2x (round-3
+    # verdict weak 2: a baseline recorded while the TPU queue shared this
+    # single core was ~3x slow and would have ~3x-inflated vs_baseline).
     import socket
 
     host = socket.gethostname()
@@ -491,23 +539,62 @@ def main():
         c = json.loads(CACHE.read_text())
         if c.get("chi") == chi and c.get("nv") == g.nv() and c.get("host") == host:
             cached = c
+    t0 = time.time()
+    probe_s = flex_overhead_probe(g, layer)  # fresh; seconds per chi=2 layer
     flex_lps = julia_lps = None
     if not os.environ.get("TNQS_BENCH_FORCE_FLEX"):
-        flex_lps = cached.get("layers_per_sec")
-        julia_lps = cached.get("julia_bound_lps")
+        ref_probe = cached.get("overhead_s")
+        if ref_probe and max(probe_s, ref_probe) <= 2.0 * min(probe_s, ref_probe):
+            flex_lps = cached.get("layers_per_sec")
+            julia_lps = cached.get("julia_bound_lps")
+        elif cached:
+            print(
+                f"# cached flex baseline rejected as load-contaminated: "
+                f"cached chi=2 probe {ref_probe}s vs fresh {probe_s:.2f}s; "
+                "re-measuring",
+                file=sys.stderr,
+            )
     if flex_lps is None or julia_lps is None:
         flex_lps = bench_flex(g, layer, chi)
-        julia_lps = julia_bound_lps(g, layer, chi, flex_lps)
+        julia_lps = julia_bound_lps(g, layer, chi, flex_lps, t_overhead=probe_s)
         cached.update(
-            chi=chi, nv=g.nv(), host=host,
+            chi=chi, nv=g.nv(), host=host, overhead_s=probe_s,
             layers_per_sec=flex_lps, julia_bound_lps=julia_lps,
         )
         CACHE.write_text(json.dumps(cached))
+    stages["flex_baseline"] = round(time.time() - t0, 1)
+
+    # ---- headline: printed (flushed) BEFORE any optional stage, so a
+    # driver timeout downstream still captures it (round-3 missing #1) ----
+    result = {
+        "metric": f"heavy-hex {g.nv()}q kicked-Ising gate-layers/sec @ chi={chi}",
+        "value": round(layers_per_sec, 4),
+        "unit": "layers/sec",
+        "vs_baseline": round(layers_per_sec / flex_lps, 2),
+    }
+    print(json.dumps(result), flush=True)
+
+    def budget_ok(stage: str, est_s: float) -> bool:
+        rem = remaining_budget()
+        if est_s <= rem:
+            return True
+        print(
+            f"# stage {stage} skipped: est {est_s:.0f}s > remaining "
+            f"budget {rem:.0f}s (TNQS_BENCH_BUDGET={BUDGET:.0f})",
+            file=sys.stderr,
+        )
+        return False
 
     # chi=64 measurement stage on the evolved flagship state (round 3)
     m64 = None
-    if not FAST and not os.environ.get("TNQS_BENCH_SKIP_CHI64"):
+    if (
+        not FAST
+        and not os.environ.get("TNQS_BENCH_SKIP_CHI64")
+        and budget_ok("chi64_measure", 300 if cached.get("chi64_flex_z") else 420)
+    ):
+        t0 = time.time()
         m64 = bench_chi64_measurement(eng, cached)
+        stages["chi64_measure"] = round(time.time() - t0, 1)
         if "chi64_flex_z" in cached:
             cached.update(chi=chi, nv=g.nv(), host=host)
             CACHE.write_text(json.dumps(cached))
@@ -518,30 +605,38 @@ def main():
     # alongside the headline so the accuracy/throughput trade is visible;
     # the headline stays the production (parity-grade) configuration.
     fast_lps = None
-    if not FAST and not os.environ.get("TNQS_BENCH_SKIP_FASTMODE"):
+    if (
+        not FAST
+        and not os.environ.get("TNQS_BENCH_SKIP_FASTMODE")
+        and budget_ok("fast_mode", 2.0 * stages["evolve"])
+    ):
         try:
+            t0 = time.time()
             fast_lps, fast_compile_s, _ = bench_engine(
                 g, layer, chi, steps, trunc="subspace"
             )
+            stages["fast_mode"] = round(time.time() - t0, 1)
         except Exception as e:  # non-finite state or compile failure
             print(f"# fast-mode stage failed: {e!r}", file=sys.stderr)
 
     # workload 2 (reference parameters): compiled pipeline + flex baseline
     w2 = w2_flex = None
-    if not FAST and not os.environ.get("TNQS_BENCH_SKIP_W2"):
+    if (
+        not FAST
+        and not os.environ.get("TNQS_BENCH_SKIP_W2")
+        and budget_ok(
+            "w2", 300 + (0 if "pq_rel_std" in cached.get("w2_flex", {}) else 500)
+        )
+    ):
+        t0 = time.time()
         w2 = bench_workload2_engine()
         w2_flex = bench_workload2_flex(cached)
+        stages["w2"] = round(time.time() - t0, 1)
         if "w2_flex" not in cached or "pq_rel_std" not in cached.get("w2_flex", {}):
             cached["w2_flex"] = w2_flex
             cached.update(chi=chi, nv=g.nv(), host=host)
             CACHE.write_text(json.dumps(cached))
 
-    result = {
-        "metric": f"heavy-hex {g.nv()}q kicked-Ising gate-layers/sec @ chi={chi}",
-        "value": round(layers_per_sec, 4),
-        "unit": "layers/sec",
-        "vs_baseline": round(layers_per_sec / flex_lps, 2),
-    }
     if w2 is not None and w2_flex is not None:
         w2_total = w2["expect_s"] + w2["sample50_s"]
         w2f_total = w2_flex["expect_s"] + w2_flex["sample50_s"]
@@ -554,7 +649,12 @@ def main():
         result["chi64_pq_rel_std"] = round(m64["pq_rel_std"], 5)
     if fast_lps is not None:
         result["fast_mode_layers_per_sec"] = round(fast_lps, 4)
-    print(json.dumps(result))
+    if m64 is not None or fast_lps is not None or w2 is not None:
+        # enriched reprint: same headline keys, plus optional-stage keys and
+        # the per-stage wall-clock map (round-3 verdict item 9) — tail
+        # parsers and the early-print parser see identical headline values
+        result["stages"] = stages
+        print(json.dumps(result), flush=True)
     julia_note = (
         f"BLAS-bound CPU-Julia estimate <= {julia_lps:.3f} layers/s "
         f"(vs_julia_bound >= {layers_per_sec / julia_lps:.2f}x)"

@@ -33,20 +33,36 @@ def main():
         if c.get("chi") == chi and c.get("nv") == g.nv() and c.get("host") == host:
             cached = c
 
-    # mirror bench.py:main's condition: BOTH values must be present or it
-    # re-measures anyway
-    if "layers_per_sec" not in cached or "julia_bound_lps" not in cached:
+    # mirror bench.py:main's reuse condition: BOTH values must be present
+    # AND the cached chi=2 overhead probe must agree with a fresh one within
+    # 2x (load-contamination gate, round-3 verdict weak 2 — a baseline
+    # recorded while the TPU queue shared this single core was ~3x slow)
+    print("probing chi=2 flex overhead (load-contamination gate)...")
+    probe_s = bench.flex_overhead_probe(g, layer)
+    ref_probe = cached.get("overhead_s")
+    valid = (
+        "layers_per_sec" in cached
+        and "julia_bound_lps" in cached
+        and ref_probe
+        and max(probe_s, ref_probe) <= 2.0 * min(probe_s, ref_probe)
+    )
+    if not valid:
+        if cached.get("layers_per_sec"):
+            print(
+                f"cached baseline invalid (chi=2 probe: cached {ref_probe}s "
+                f"vs fresh {probe_s:.2f}s); re-measuring"
+            )
         print("measuring flex baseline (interpreted, saturated bonds)...")
         flex_lps = bench.bench_flex(g, layer, chi)
-        julia_lps = bench.julia_bound_lps(g, layer, chi, flex_lps)
+        julia_lps = bench.julia_bound_lps(g, layer, chi, flex_lps, t_overhead=probe_s)
         cached.update(
-            chi=chi, nv=g.nv(), host=host,
+            chi=chi, nv=g.nv(), host=host, overhead_s=probe_s,
             layers_per_sec=flex_lps, julia_bound_lps=julia_lps,
         )
         bench.CACHE.write_text(json.dumps(cached))
         print(f"flex {flex_lps:.4f} layers/s, julia bound {julia_lps:.4f}")
     else:
-        print("flex baseline already cached")
+        print(f"flex baseline already cached and probe-validated ({probe_s:.2f}s)")
 
     if "pq_rel_std" not in cached.get("w2_flex", {}):
         print("measuring workload-2 flex pipeline...")

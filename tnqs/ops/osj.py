@@ -62,14 +62,19 @@ except Exception:  # pragma: no cover
 def pjsvd_certified(golden_dir=None) -> bool:
     """True iff a committed ON-CHIP parity artifact certifies pjsvd.
 
-    The gate (same rule as `scripts/tpu_queue2.sh`): the 10-layer chi=64
-    Eagle trajectory run with ``--svd-impl pjsvd``
-    (`scripts/tpu_parity_check.py`) must deviate from the flex-f64 oracle
-    by no more than the flex-f32 control floor recorded in the xla-SVD
-    artifact — i.e. pjsvd must clear the exact bar the production XLA-SVD
-    path cleared.  Pallas kernels have a record of CPU-green/TPU-wrong
-    behavior on this backend (docs/performance.md, "the NaN hunt"), so
-    nothing routes to the kernel by default without this artifact.
+    The gate: the 10-layer chi=64 Eagle trajectory run with
+    ``--svd-impl pjsvd`` (`scripts/tpu_parity_check.py`) must track the
+    flex-f64 oracle LAYER BY LAYER within the same cumulative-chaos bound
+    the production XLA-SVD path is held to
+    (`tests/test_f32_floor.py::test_production_engine_sits_at_the_f32_floor`):
+    each layer's deviation <= max(3x the running-max flex-f32 control
+    floor, 2e-5 abs), AND the trajectory max must not exceed the control
+    floor's max (the original round-3 bar).  The per-layer clause closes
+    the advisor's round-3 finding that a max-vs-max comparison hides
+    early-layer excursions behind a floor that grows with layer.  Pallas
+    kernels have a record of CPU-green/TPU-wrong behavior on this backend
+    (docs/performance.md, "the NaN hunt"), so nothing routes to the kernel
+    by default without this artifact.
     """
     import json
     import pathlib
@@ -86,9 +91,12 @@ def pjsvd_certified(golden_dir=None) -> bool:
         ref = json.loads((d / "tpu_parity_chi64.json").read_text())
         if cand.get("backend") != "tpu":
             return False
-        dev = max(cand["dev_from_f64_per_layer"])
-        floor = max(ref["f32_floor_per_layer"])
-        return bool(dev <= floor)
+        devs = np.asarray(cand["dev_from_f64_per_layer"], dtype=float)
+        floors = np.asarray(ref["f32_floor_per_layer"], dtype=float)
+        if devs.shape != floors.shape or devs.size == 0:
+            return False
+        bound = np.maximum(3.0 * np.maximum.accumulate(floors), 2e-5)
+        return bool((devs <= bound).all() and devs.max() <= floors.max())
     except Exception:
         return False
 
