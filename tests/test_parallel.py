@@ -253,6 +253,30 @@ def test_sharded_bmps_expect_matches_unsharded():
         assert abs(got[v] - ref[v]) < 2e-5, (v, got[v], ref[v])
 
 
+def test_sharded_bmps_expect_heavy_hex():
+    """Irregular-lattice ring pipeline (round-4 item: heavy-hex was the
+    one geometry `ShardedBMPS` refused): cuts carry DIFFERENT numbers of
+    cross edges with varying bond shapes, so the relay pads every exit to
+    the elementwise-max cut template and each band slices its entry back —
+    numerically exact, matching the reference's geometry-general BMPS
+    (`/root/reference/src/MessagePassing/boundarympscache.jl:560-576`)."""
+    from tnqs.bmps_engine import BMPSEngine
+    from tnqs.parallel.bmps_ring import ShardedBMPS
+
+    g = tnqs.heavy_hexagonal_lattice(2, 2)  # 35 sites, 11 columns
+    psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+    layer = heavy_hex_kicked_ising_layer(g, 0.55, 0.4)
+    eng = LatticeEngine(psi, chi=2, dtype=jnp.complex64)
+    eng.bp_update(maxiter=10)
+    eng.evolve(layer, num_layers=2, cutoff=1e-10, bp_maxiter=10)
+
+    ref = BMPSEngine(eng, rank=3).expect_1site("Z")
+    got = ShardedBMPS(BMPSEngine(eng, rank=3), make_mesh(4)).expect_1site("Z")
+    assert set(got) == set(ref)
+    for v in ref:
+        assert abs(got[v] - ref[v]) < 2e-5, (v, got[v], ref[v])
+
+
 def test_sharded_bmps_rejects_too_few_columns():
     from tnqs.bmps_engine import BMPSEngine
     from tnqs.parallel.bmps_ring import ShardedBMPS

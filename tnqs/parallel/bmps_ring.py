@@ -23,6 +23,14 @@ Two parallel dimensions exist in the compiled measurement tier:
   parallel across bands, one `lax.switch` branch per device.  Per-band
   results match the unsharded engine to f32 eps because the on-device
   sketch draws are keyed by (column, direction, vertex), not by device.
+  Irregular lattices (heavy-hex / Eagle: cuts carry different numbers of
+  cross edges with varying bond shapes) relay PADDED cut-MPSes — every
+  exit is zero-padded to the elementwise-max template of its sweep
+  direction before the `ppermute`, and each band statically slices its
+  entry back to its own entry cut's true shapes (known at trace time
+  from `jax.eval_shape` of the full chains) — numerically exact; the
+  only cost is max-shaped ICI traffic.  This matches the reference's
+  geometry generality (`boundarympscache.jl:560-576`).
 
 Validated on the virtual CPU mesh by `tests/test_parallel.py` and
 `__graft_entry__.py:dryrun_multichip` (stage 4).
@@ -54,13 +62,15 @@ class ShardedBMPS:
     dominant cost at large chi — run fully parallel across bands via one
     `lax.switch` branch per device.
 
-    Requires uniform cut shapes (every interior cut carries the same
-    number of cross edges with identical tensor shapes — regular grids;
-    heavy-hex bands need shape padding and stay on the per-device sample
-    axis for now) and at least one column per device.  Results match the
-    unsharded :class:`BMPSEngine` to f32 eps because the on-device sketch
-    draws are keyed by (column, direction, vertex), not by device
-    (`tests/test_parallel.py::test_sharded_bmps_expect`)."""
+    Handles irregular lattices (heavy-hex / Eagle) by relaying PADDED
+    cut-MPSes: exits are zero-padded to the elementwise-max cut template
+    of their sweep direction, entries statically sliced back to the true
+    shapes of the band's entry cut — exact, since the padding never
+    enters any contraction.  Needs at least one column per device.
+    Results match the unsharded :class:`BMPSEngine` to f32 eps because
+    the on-device sketch draws are keyed by (column, direction, vertex),
+    not by device (`tests/test_parallel.py::test_sharded_bmps_expect`,
+    `::test_sharded_bmps_expect_heavy_hex`)."""
 
     def __init__(self, bmps: BMPSEngine, mesh: Mesh):
         self.bmps = bmps
@@ -68,6 +78,12 @@ class ShardedBMPS:
         self.axis = mesh.axis_names[0]
         self.D = int(mesh.devices.size)
         cp = bmps.cplan
+        if cp.periodic:
+            raise NotImplementedError(
+                "ring-quotient (periodic) column plans are not supported "
+                "by the device-ring pipeline yet; use the unsharded "
+                "BMPSEngine"
+            )
         nC = len(cp.columns)
         if nC < self.D:
             raise ValueError(
@@ -83,9 +99,13 @@ class ShardedBMPS:
 
     # -- cut-shape templates ---------------------------------------------
     def _cut_templates(self):
-        """(left_shapes, right_shapes): the uniform per-cut tensor shapes of
-        the two sweep directions, derived by `jax.eval_shape` over the full
-        chains (no compute).  Raises if interior cuts disagree."""
+        """((tmplL, cutsL), (tmplR, cutsR)): per sweep direction, the
+        elementwise-max padded cut template (list of `ShapeDtypeStruct`,
+        every relayed cut is padded to it) and the TRUE per-cut shapes
+        (`cuts[c]` = shapes of the MPS living on cut c for that
+        direction), derived by `jax.eval_shape` over the full chains (no
+        compute).  Uniform-cut lattices pad by zero elements; heavy-hex
+        cuts pad in both count and bond dims."""
         if self._templates is not None:
             return self._templates
         bmps, nC = self.bmps, self.nC
@@ -108,21 +128,52 @@ class ShardedBMPS:
                 outs.append(tuple(cur))
             return tuple(outs)
 
+        # left_chain outs[j] lives on cut j; right_chain outs[j] (produced
+        # by zipping column nC-1-j in direction -1) lives on cut nC-2-j
         lefts = jax.eval_shape(left_chain, Tspec)
         rights = jax.eval_shape(right_chain, Tspec)
+        cutsL = {c: list(lefts[c]) for c in range(nC - 1)}
+        cutsR = {nC - 2 - j: list(rights[j]) for j in range(nC - 1)}
 
-        def uniform(cuts, tag):
-            shapes = [tuple((t.shape, t.dtype) for t in cut) for cut in cuts]
-            if any(s != shapes[0] for s in shapes[1:]):
-                raise ValueError(
-                    f"non-uniform {tag}-sweep cut shapes; the ring pipeline "
-                    "needs a regular column structure (use the per-sample "
-                    "axis or the flex tier for this lattice)"
-                )
-            return [jax.ShapeDtypeStruct(t.shape, t.dtype) for t in cuts[0]]
+        def template(cuts):
+            all_t = [t for cut in cuts.values() for t in cut]
+            n = max(len(cut) for cut in cuts.values())
+            shape = tuple(
+                max(t.shape[i] for t in all_t) for i in range(4)
+            )
+            dt = all_t[0].dtype
+            return [jax.ShapeDtypeStruct(shape, dt)] * n
 
-        self._templates = (uniform(lefts, "left"), uniform(rights, "right"))
+        self._templates = (
+            (template(cutsL), cutsL),
+            (template(cutsR), cutsR),
+        )
         return self._templates
+
+    @staticmethod
+    def _pad_cut(cut: list, tmpl: list):
+        """Zero-pad a cut-MPS (list of [q, bk, bb, q2] tensors) to the relay
+        template: each tensor padded up to the template shape, the list
+        padded with zero tensors to the template length."""
+        out = []
+        for i, t in enumerate(tmpl):
+            if i < len(cut):
+                x = cut[i]
+                pads = [(0, t.shape[j] - x.shape[j]) for j in range(4)]
+                out.append(jnp.pad(x, pads))
+            else:
+                out.append(jnp.zeros(t.shape, t.dtype))
+        return tuple(out)
+
+    @staticmethod
+    def _unpad_cut(entry: tuple, true_shapes: list):
+        """Slice a relayed padded cut-MPS back to the true shapes of the
+        consuming band's entry cut (static at trace time) — the padding
+        never enters a contraction, so the relay is numerically exact."""
+        return [
+            entry[i][tuple(slice(0, s) for s in t.shape)]
+            for i, t in enumerate(true_shapes)
+        ]
 
     # -- compiled program -------------------------------------------------
     def _build_expect(self):
@@ -135,7 +186,7 @@ class ShardedBMPS:
 
         bmps, cp, nC, D = self.bmps, self.bmps.cplan, self.nC, self.D
         axis, bands = self.axis, self.bands
-        tmplL, tmplR = self._cut_templates()
+        (tmplL, cutsL), (tmplR, cutsR) = self._cut_templates()
         maxnv = max(
             sum(len(cp.columns[c]) for c in range(s0, s1)) for (s0, s1) in bands
         )
@@ -148,10 +199,10 @@ class ShardedBMPS:
             def f(T, entry):
                 if s1 >= nC:  # last band: no leftward consumer
                     return tuple(jnp.zeros(t.shape, t.dtype) for t in tmplL)
-                cur = [] if s0 == 0 else list(entry)
+                cur = [] if s0 == 0 else self._unpad_cut(entry, cutsL[s0 - 1])
                 for c in range(s0, s1):
                     cur, _ = bmps._zip_column(T, c, cur, +1)
-                return tuple(cur)
+                return self._pad_cut(cur, tmplL)
 
             return f
 
@@ -161,10 +212,10 @@ class ShardedBMPS:
             def f(T, entry):
                 if s0 == 0:  # first band: no rightward consumer
                     return tuple(jnp.zeros(t.shape, t.dtype) for t in tmplR)
-                cur = [] if s1 == nC else list(entry)
+                cur = [] if s1 == nC else self._unpad_cut(entry, cutsR[s1 - 1])
                 for c in range(s1 - 1, s0 - 1, -1):
                     cur, _ = bmps._zip_column(T, c, cur, -1)
-                return tuple(cur)
+                return self._pad_cut(cur, tmplR)
 
             return f
 
@@ -173,13 +224,13 @@ class ShardedBMPS:
 
             def f(T, entryL, entryR, op):
                 lefts = {}
-                cur = [] if s0 == 0 else list(entryL)
+                cur = [] if s0 == 0 else self._unpad_cut(entryL, cutsL[s0 - 1])
                 for c in range(s0, s1):
                     lefts[c] = cur
                     if c < s1 - 1:
                         cur, _ = bmps._zip_column(T, c, cur, +1)
                 rights = {}
-                cur = [] if s1 == nC else list(entryR)
+                cur = [] if s1 == nC else self._unpad_cut(entryR, cutsR[s1 - 1])
                 for c in range(s1 - 1, s0 - 1, -1):
                     rights[c] = cur
                     if c > s0:
