@@ -1,0 +1,120 @@
+"""Compiled boundary-MPS on RING (periodic) column quotients — round-4
+item 8 / round-3 missing #3.
+
+The reference accepts ring quotient graphs (`boundarympscache.jl:69-81`,
+`is_ring_graph`) — cylinder-class lattices: periodic across columns, each
+column an open path.  The compiled tier handles them by initializing the
+cut messages from the engine's BP bond environments as product MPSes and
+relaxing with `ring_iters` Gauss-Seidel passes around the ring per
+direction (zipup-class updates; the compiled counterpart of the
+reference's quotient-BP outer loop).  Like BP on a loop, the converged
+closure is exact only as correlations decay around the ring — the flex
+FITTING tier (vertex-level planar BP, reference
+`boundarympscache.jl:330-369`) converges to a tighter object and remains
+the high-accuracy path; measured on the 6x3 cylinder below: compiled
+zipup fixed point ~2e-3 from exact, flex fitting ~1e-6.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+import tnqs
+from tnqs.bmps_engine import BMPSEngine, BMPSSampler
+from tnqs.engine import LatticeEngine
+from tnqs.models import tfim_layer
+
+
+def _cylinder_engine(nx=6, ny=3, layers=2):
+    g = tnqs.named_grid((nx, ny), periodic=(True, False))
+    psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+    eng = LatticeEngine(psi, chi=2, dtype=jnp.complex64)
+    eng.bp_update(maxiter=10)
+    if layers:
+        eng.evolve(
+            tfim_layer(g, J=0.5, hx=1.0, dt=0.3),
+            num_layers=layers, cutoff=1e-10, bp_maxiter=10,
+        )
+    return g, eng
+
+
+def test_named_grid_per_axis_periodic():
+    g = tnqs.named_grid((4, 3), periodic=(True, False))
+    edges = {frozenset(e) for e in g.edges()}
+    assert frozenset({(4, 1), (1, 1)}) in edges  # x wraps
+    assert frozenset({(1, 3), (1, 1)}) not in edges  # y does not
+    with pytest.raises(ValueError, match="periodic"):
+        tnqs.named_grid((4, 3), periodic=(True,))
+
+
+def test_ring_plan_detected():
+    g, eng = _cylinder_engine(layers=0)
+    be = BMPSEngine(eng, rank=4)
+    assert be.cplan.periodic
+    assert len(be.cplan.cross) == 6  # nC cuts incl. the wrap cut
+    # wrap cut oriented (last column, column 0)
+    for (u, w) in be.cplan.cross[-1]:
+        assert u[0] == 6 and w[0] == 1
+
+
+def test_ring_bmps_product_state_exact():
+    g, eng = _cylinder_engine(layers=0)
+    z = BMPSEngine(eng, rank=4, ring_iters=2).expect_1site("Z")
+    for v in g.vertices():
+        assert abs(z[v].real - 1.0) < 1e-5, (v, z[v])
+
+
+def test_ring_bmps_matches_exact_within_ring_envelope():
+    g, eng = _cylinder_engine()
+    psi_t = eng.to_state()
+    z = BMPSEngine(eng, rank=16, ring_iters=4).expect_1site("Z")
+    for v in list(g.vertices())[:6]:
+        ze = float(np.real(tnqs.expect(psi_t, ("Z", v), alg="exact")))
+        # zipup-class ring fixed point: winding-closure envelope (see module
+        # docstring; measured ~2e-3 on this workload, gated at 3x)
+        assert abs(z[v].real - ze) < 6e-3, (v, z[v].real, ze)
+
+
+def test_ring_bmps_2site_and_rdm_run():
+    g, eng = _cylinder_engine()
+    pairs = [((1, 1), (1, 2))]
+    zz = BMPSEngine(eng, rank=8, ring_iters=3).expect_2site("Z", "Z", pairs=pairs)
+    assert np.isfinite(np.real(list(zz.values()))).all()
+    rho = BMPSEngine(eng, rank=8, ring_iters=3).rdm([(1, 1)])
+    assert abs(np.trace(rho) - 1.0) < 1e-6
+    ze = float(np.real(tnqs.expect(eng.to_state(), ("Z", (1, 1)), alg="exact")))
+    assert abs(float(np.real(rho[0, 0] - rho[1, 1])) - ze) < 6e-3
+
+
+def test_ring_guards():
+    g, eng = _cylinder_engine(layers=0)
+    be = BMPSEngine(eng, rank=4)
+    with pytest.raises(NotImplementedError, match="sampling"):
+        BMPSSampler(be)
+    from tnqs.parallel.bmps_ring import ShardedBMPS
+    from tnqs.parallel.mesh import make_mesh
+
+    with pytest.raises(NotImplementedError, match="ring-quotient"):
+        ShardedBMPS(be, make_mesh(2))
+
+
+def test_line_plans_unchanged():
+    """The ring additions must not disturb line-quotient behavior."""
+    g = tnqs.named_grid((4, 3))
+    psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+    eng = LatticeEngine(psi, chi=2, dtype=jnp.complex64)
+    eng.bp_update(maxiter=10)
+    eng.evolve(tfim_layer(g, J=0.5, hx=1.0, dt=0.3), num_layers=2,
+               cutoff=1e-10, bp_maxiter=10)
+    be = BMPSEngine(eng, rank=64)  # cut width 4^3 = 64: sketch is exact-rank
+    assert not be.cplan.periodic
+    z = be.expect_1site("Z")
+    psi_t = eng.to_state()
+    for v in list(g.vertices())[:4]:
+        ze = float(np.real(tnqs.expect(psi_t, ("Z", v), alg="exact")))
+        # 4.4e-4 measured on this config BEFORE the ring changes (f32
+        # sketch-whitening floor of the compiled sweep at chi=2/4x3) —
+        # this test pins no-regression, not absolute accuracy
+        assert abs(z[v].real - ze) < 1e-3, (v, z[v].real, ze)

@@ -56,12 +56,31 @@ Array = jax.Array
 
 @dataclass
 class ColumnPlan:
-    """Static column decomposition of a lattice for boundary-MPS sweeps."""
+    """Static column decomposition of a lattice for boundary-MPS sweeps.
+
+    `periodic` marks a RING column quotient (cylinder-class lattices:
+    periodic across columns, each column an open path — the reference's
+    `is_ring_graph` quotient case, `boundarympscache.jl:69-81` +
+    `utils.jl:10-16`).  Ring plans carry nC cuts: `cross[nC-1]` is the
+    wrap cut between the last and first columns."""
 
     columns: list  # list of ordered vertex lists
     cross: list  # cross[c] = ordered cross edges (u in col c, w in col c+1)
     col_of: dict
     order_in_col: dict  # vertex -> position in its column
+    periodic: bool = False
+
+    def side(self, v, u) -> str:
+        """Which axis role neighbor `u` plays for vertex `v`: up/down along
+        the column, left/right across cuts (wrap-aware on ring plans:
+        column 0's neighbor in the last column sits to its LEFT)."""
+        cv, cu = self.col_of[v], self.col_of[u]
+        if cv == cu:
+            return "u" if self.order_in_col[u] < self.order_in_col[v] else "d"
+        d = cu - cv
+        if self.periodic and abs(d) == len(self.columns) - 1:
+            d = -d
+        return "l" if d < 0 else "r"
 
     @staticmethod
     def build(plan, column_of=None, row_of=None) -> "ColumnPlan":
@@ -81,7 +100,9 @@ class ColumnPlan:
             for i, v in enumerate(cl):
                 order_in_col[v] = i
 
-        cross: list = [[] for _ in range(len(columns) - 1)]
+        nC = len(columns)
+        cross: list = [[] for _ in range(nC - 1)]
+        wrap: list = []
         for (u, w) in plan.graph.edges():
             cu, cw = col_of[u], col_of[w]
             if cu == cw:
@@ -91,10 +112,17 @@ class ColumnPlan:
                         f"intra-column edge {(u, w)})"
                     )
                 continue
+            if abs(cu - cw) == nC - 1 and nC > 2:
+                # wrap edge (ring column quotient): oriented (last col, col 0)
+                wrap.append((u, w) if cu > cw else (w, u))
+                continue
             if abs(cu - cw) != 1:
                 raise ValueError(f"edge {(u, w)} spans non-adjacent columns")
             a, b = (u, w) if cu < cw else (w, u)
             cross[min(cu, cw)].append((a, b))
+        periodic = bool(wrap)
+        if periodic:
+            cross.append(wrap)  # cut nC-1: last column -> column 0
         for c, es in enumerate(cross):
             by_src = sorted(es, key=lambda e: order_in_col[e[0]])
             by_dst = sorted(es, key=lambda e: order_in_col[e[1]])
@@ -112,7 +140,10 @@ class ColumnPlan:
                     f"vertex {v} has multiple cross bonds on one side; "
                     "unsupported (use the flex tier)"
                 )
-        return ColumnPlan(columns=columns, cross=cross, col_of=col_of, order_in_col=order_in_col)
+        return ColumnPlan(
+            columns=columns, cross=cross, col_of=col_of,
+            order_in_col=order_in_col, periodic=periodic,
+        )
 
 
 # ----------------------------------------------------------------------
@@ -427,9 +458,12 @@ class BMPSEngine:
     vertex.  `rank` is the MPS bond dimension (the accuracy knob,
     reference `mps_bond_dimension`)."""
 
-    def __init__(self, engine: LatticeEngine, rank: int, column_of=None, row_of=None, seed: int = 7, oversample: int = 8, power_iters: int = 1):
+    def __init__(self, engine: LatticeEngine, rank: int, column_of=None, row_of=None, seed: int = 7, oversample: int = 8, power_iters: int = 1, ring_iters: int = 3):
         self.engine = engine
         self.rank = int(rank)
+        # ring (periodic) column quotients: passes of the power-iteration
+        # relaxation around the ring (see `_boundary_mpses`)
+        self.ring_iters = int(ring_iters)
         # sketch width = rank + oversample; the subspace is truncated back
         # to `rank` through the small C^H C eigh (randomized SVD with
         # oversampling).  0 disables (round-2 behavior).
@@ -462,14 +496,7 @@ class BMPSEngine:
         plan = eng.plan if plan is None else plan
         k, pos = plan.bucket_pos[v]
         A = T[k][pos]  # [d, chi x k]
-        roles = []
-        for u in plan.neighbor_order[v]:
-            if cp.col_of[u] == cp.col_of[v]:
-                roles.append("u" if cp.order_in_col[u] < cp.order_in_col[v] else "d")
-            elif cp.col_of[u] < cp.col_of[v]:
-                roles.append("l")
-            else:
-                roles.append("r")
+        roles = [cp.side(v, u) for u in plan.neighbor_order[v]]
         order = ["u", "d", "l", "r"]
         perm = [0] + [1 + roles.index(r) for r in order if r in roles]
         A = jnp.transpose(A, perm)
@@ -503,14 +530,18 @@ class BMPSEngine:
             budget = _EINSUM_BUDGET
         cp = self.cplan
         col = cp.columns[c]
+        nC = len(cp.columns)
+        # on ring (periodic) plans every column has both cuts, indexed mod
+        # nC (cut nC-1 is the wrap cut); on line plans the end columns
+        # lack one side
         if direction > 0:
-            consume_cut = cp.cross[c - 1] if c > 0 else []
-            emit_cut = cp.cross[c] if c < len(cp.cross) else []
+            consume_cut = cp.cross[(c - 1) % nC] if (c > 0 or cp.periodic) else []
+            emit_cut = cp.cross[c] if (c < len(cp.cross)) else []
             consume_of = {e[1]: i for i, e in enumerate(consume_cut)}
             emit_of = {e[0]: i for i, e in enumerate(emit_cut)}
         else:
-            consume_cut = cp.cross[c] if c < len(cp.cross) else []
-            emit_cut = cp.cross[c - 1] if c > 0 else []
+            consume_cut = cp.cross[c] if (c < len(cp.cross)) else []
+            emit_cut = cp.cross[(c - 1) % nC] if (c > 0 or cp.periodic) else []
             consume_of = {e[0]: i for i, e in enumerate(consume_cut)}
             emit_of = {e[1]: i for i, e in enumerate(emit_cut)}
 
@@ -632,7 +663,8 @@ class BMPSEngine:
         reference's `path_contract`, `boundarympscache.jl:616-667`)."""
         cp = self.cplan
         col = cp.columns[c]
-        lcut = cp.cross[c - 1] if c > 0 else []
+        nC = len(cp.columns)
+        lcut = cp.cross[(c - 1) % nC] if (c > 0 or cp.periodic) else []
         rcut = cp.cross[c] if c < len(cp.cross) else []
         l_of = {e[1]: i for i, e in enumerate(lcut)}
         r_of = {e[0]: i for i, e in enumerate(rcut)}
@@ -730,24 +762,69 @@ class BMPSEngine:
             out[(v1, v2)] = numer / denom
         return out
 
-    # -- public API -------------------------------------------------------
-    def _build_expect(self, columns: tuple):
-        cp = self.cplan
-        nC = len(cp.columns)
+    # -- boundary chains ---------------------------------------------------
+    def _boundary_mpses(self, T: dict, M=None):
+        """(lefts, rights): lefts[c] = boundary MPS entering column c from
+        the left (on cut c-1), rights[c] = entering from the right (cut c).
 
-        def fn(T, op):
-            lefts: list = [None] * nC  # lefts[c] = MPS on cut c-1 (left of col c)
+        Line plans: one zip chain each way (the reference's sequential
+        outer sweep, `boundarympscache.jl:330-369`).  Ring (periodic)
+        plans: cut messages initialize from the engine's BP bond
+        environments `M` as product MPSes and relax by `ring_iters`
+        Gauss-Seidel passes around the ring in each direction — the
+        compiled counterpart of the reference's quotient-BP outer loop on
+        ring quotients (`abstractbeliefpropagationcache.jl:223-255` over
+        `bp_edge_sequence`, `boundarympscache.jl:27-30`); like BP on a
+        loop, exact only as correlations decay around the ring."""
+        cp, nC = self.cplan, len(self.cplan.columns)
+        if not cp.periodic:
+            lefts: list = [None] * nC
             cur: list = []
             for c in range(nC):
                 lefts[c] = cur
                 if c < nC - 1:
                     cur, _ = self._zip_column(T, c, cur, +1)
-            rights: list = [None] * nC  # rights[c] = MPS on cut c (right of col c)
+            rights: list = [None] * nC
             cur = []
             for c in range(nC - 1, -1, -1):
                 rights[c] = cur
                 if c > 0:
                     cur, _ = self._zip_column(T, c, cur, -1)
+            return lefts, rights
+        if M is None:
+            raise ValueError("ring-quotient boundary MPS needs the BP messages M")
+        eids = self.engine.plan.edge_ids
+
+        def init_cut(cut, reverse):
+            # product-MPS init from the BP fixed point: the bond message
+            # IS the chi x chi doubled-layer cut environment of that edge
+            out = []
+            for (u, w) in cut:
+                m = M[eids[(w, u)] if reverse else eids[(u, w)]]
+                out.append(m[None, :, :, None])  # [1, chi_k, chi_b, 1]
+            return out
+
+        lefts = {c: init_cut(cp.cross[(c - 1) % nC], False) for c in range(nC)}
+        for _ in range(max(self.ring_iters, 1)):
+            for c in range(nC):
+                out, _ = self._zip_column(T, c, lefts[c], +1)
+                lefts[(c + 1) % nC] = out
+        rights = {c: init_cut(cp.cross[c], True) for c in range(nC)}
+        for _ in range(max(self.ring_iters, 1)):
+            for c in range(nC - 1, -1, -1):
+                out, _ = self._zip_column(T, c, rights[c], -1)
+                rights[(c - 1) % nC] = out
+        return (
+            [lefts[c] for c in range(nC)],
+            [rights[c] for c in range(nC)],
+        )
+
+    # -- public API -------------------------------------------------------
+    def _build_expect(self, columns: tuple):
+        cp = self.cplan
+
+        def fn(T, op, M=None):
+            lefts, rights = self._boundary_mpses(T, M)
             vals = {}
             for c in columns:
                 vals.update(self._ladder_expect(T, c, lefts[c], rights[c], op))
@@ -778,8 +855,8 @@ class BMPSEngine:
         if columns not in cache:
             fn = self._build_expect(columns)
 
-            def wrapped(T, op):
-                _, vals = fn(T, op)
+            def wrapped(T, op, M=None):
+                _, vals = fn(T, op, M)
                 return vals
 
             # `fn` stacks the merged per-column dicts in sorted-key order
@@ -787,7 +864,10 @@ class BMPSEngine:
             cache[columns] = (jax.jit(wrapped), keys)
         jfn, keys = cache[columns]
         op = device_put(np.asarray(op_matrix(opname, eng.d)).astype(np.dtype(eng.dtype)))
-        vals = device_get(jfn(eng.T, op))
+        if self.cplan.periodic:
+            vals = device_get(jfn(eng.T, op, eng.M))
+        else:
+            vals = device_get(jfn(eng.T, op))
         out = {v: complex(vals[i]) for i, v in enumerate(keys)}
         if vertices is not None:
             out = {v: out[v] for v in vertices}
@@ -829,21 +909,9 @@ class BMPSEngine:
         key = ("2site", tuple(sorted(by_col)), tuple(sorted(pairs)))
         cache = self._expect_cache
         if key not in cache:
-            nC = len(cp.columns)
 
-            def fn(T, op1, op2):
-                lefts: list = [None] * nC
-                cur: list = []
-                for c in range(nC):
-                    lefts[c] = cur
-                    if c < nC - 1:
-                        cur, _ = self._zip_column(T, c, cur, +1)
-                rights: list = [None] * nC
-                cur = []
-                for c in range(nC - 1, -1, -1):
-                    rights[c] = cur
-                    if c > 0:
-                        cur, _ = self._zip_column(T, c, cur, -1)
+            def fn(T, op1, op2, M=None):
+                lefts, rights = self._boundary_mpses(T, M)
                 vals = {}
                 for c, col_pairs in sorted(by_col.items()):
                     vals.update(
@@ -854,8 +922,8 @@ class BMPSEngine:
                 keys = sorted(vals.keys())
                 return keys, jnp.stack([vals[k] for k in keys])
 
-            def wrapped(T, op1, op2):
-                _, vals = fn(T, op1, op2)
+            def wrapped(T, op1, op2, M=None):
+                _, vals = fn(T, op1, op2, M)
                 return vals
 
             # _ladder_expect_pairs keys by the caller's orientation, and fn
@@ -865,7 +933,10 @@ class BMPSEngine:
         dt = np.dtype(eng.dtype)
         op1 = device_put(np.asarray(op_matrix(opname_u, eng.d)).astype(dt))
         op2 = device_put(np.asarray(op_matrix(opname_v, eng.d)).astype(dt))
-        vals = device_get(jfn(eng.T, op1, op2))
+        if cp.periodic:
+            vals = device_get(jfn(eng.T, op1, op2, eng.M))
+        else:
+            vals = device_get(jfn(eng.T, op1, op2))
         return {k: complex(vals[i]) for i, k in enumerate(keys)}
 
     def rdm(self, vertices, normalize: bool = True) -> np.ndarray:
@@ -911,15 +982,19 @@ class BMPSEngine:
             lo, hi = orders[0], orders[-1]
             assign = list(product(range(d), repeat=2 * k))  # (s1..sk, t1..tk)
 
-            def fn(T):
-                cur: list = []
-                for cc in range(c):
-                    cur, _ = self._zip_column(T, cc, cur, +1)
-                L = cur
-                cur = []
-                for cc in range(nC - 1, c, -1):
-                    cur, _ = self._zip_column(T, cc, cur, -1)
-                R = cur
+            def fn(T, M=None):
+                if cp.periodic:
+                    lefts, rights = self._boundary_mpses(T, M)
+                    L, R = lefts[c], rights[c]
+                else:
+                    cur: list = []
+                    for cc in range(c):
+                        cur, _ = self._zip_column(T, cc, cur, +1)
+                    L = cur
+                    cur = []
+                    for cc in range(nC - 1, c, -1):
+                        cur, _ = self._zip_column(T, cc, cur, -1)
+                    R = cur
                 dt = None
                 for arr in T.values():
                     dt = arr.dtype
@@ -943,7 +1018,9 @@ class BMPSEngine:
 
             cache[key] = (jax.jit(fn), assign)
         jfn, assign = cache[key]
-        vals = np.asarray(device_get(jfn(eng.T)))
+        vals = np.asarray(
+            device_get(jfn(eng.T, eng.M) if cp.periodic else jfn(eng.T))
+        )
         rho = np.zeros((d,) * (2 * k), dtype=vals.dtype)
         for a, x in zip(assign, vals):
             rho[a] = x
@@ -960,6 +1037,11 @@ class BMPSEngine:
         the complex phase the scalar branch of `_zip_column` drops)."""
         cp = self.cplan
         nC = len(cp.columns)
+        if cp.periodic:
+            raise NotImplementedError(
+                "compiled overlaps on ring column quotients are not "
+                "supported; use the flex tier (tnqs.inner)"
+            )
 
         def fn(T, Tb):
             dt = None
@@ -1126,6 +1208,11 @@ class BMPSSampler:
         self.bmps = bmps
         self.proj_rank = int(proj_rank) if proj_rank is not None else 5 * bmps.engine.chi
         cp = bmps.cplan
+        if cp.periodic:
+            raise NotImplementedError(
+                "boundary-MPS sampling on ring column quotients is not "
+                "supported; use the flex tier (tnqs.sample)"
+            )
         self.keys_order = [v for col in cp.columns for v in col]
         self._vidx = {v: i for i, v in enumerate(self.keys_order)}
         self._fns: dict = {}

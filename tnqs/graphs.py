@@ -792,19 +792,29 @@ def leafless_edge_induced_subgraphs(g: NamedGraph, max_edges: int) -> list[list[
 # lattice generators (reference: `src/graph_ops.jl`, NamedGraphs generators)
 # ----------------------------------------------------------------------
 
-def named_grid(dims: Sequence[int], periodic: bool = False) -> NamedGraph:
+def named_grid(dims: Sequence[int], periodic=False) -> NamedGraph:
     """Hypercubic lattice with 1-based tuple vertex names.
 
     Mirrors NamedGraphs `named_grid` as used across the reference examples
-    (`README.md:38`, `examples/3dIsing_dynamics.jl`).
+    (`README.md:38`, `examples/3dIsing_dynamics.jl`).  `periodic` is a
+    bool (all axes) or a per-axis sequence of bools — e.g.
+    ``named_grid((6, 4), periodic=(True, False))`` is a cylinder, the
+    ring-quotient geometry of the compiled boundary-MPS tier.
     """
     dims = tuple(int(d) for d in dims)
+    per = (
+        tuple(bool(p) for p in periodic)
+        if isinstance(periodic, (tuple, list))
+        else (bool(periodic),) * len(dims)
+    )
+    if len(per) != len(dims):
+        raise ValueError(f"periodic {periodic} does not match dims {dims}")
     if len(dims) == 1:
         vs = list(range(1, dims[0] + 1))
         g = NamedGraph(vs)
         for i in range(1, dims[0]):
             g.add_edge(i, i + 1)
-        if periodic and dims[0] > 2:
+        if per[0] and dims[0] > 2:
             g.add_edge(dims[0], 1)
         return g
     vs = list(itertools.product(*[range(1, d + 1) for d in dims]))
@@ -815,7 +825,7 @@ def named_grid(dims: Sequence[int], periodic: bool = False) -> NamedGraph:
                 u = list(v)
                 u[k] += 1
                 g.add_edge(v, tuple(u))
-            elif periodic and d > 2:
+            elif per[k] and d > 2:
                 u = list(v)
                 u[k] = 1
                 g.add_edge(v, tuple(u))
