@@ -90,6 +90,7 @@ def main():
     timeit("C jacobi_eigh(G) sweeps=8", jax.jit(lambda g: jacobi_eigh(g, sweeps=8)), G)
     timeit("D subspace_eigh(chi)(G)", jax.jit(subspace_eigh(CHI)), G)
 
+    acc = {}
     for tag, (U, s, Vh) in (("A", res_a), ("B", res_b), ("B'", res_b2)):
         U = np.asarray(jax.device_get(jnp.real(U))) + 1j * np.asarray(
             jax.device_get(jnp.imag(U))
@@ -104,6 +105,31 @@ def main():
         recon = np.max(np.linalg.norm((rec - best).reshape(B, -1), axis=1) / s0[:, 0])
         serr = np.max(np.abs(s - s0) / s0[:, :1])
         print(f"  {tag:3s} truncated recon {recon:9.2e}   s-err {serr:9.2e}")
+        acc[tag] = dict(recon=float(recon), s_err=float(serr))
+
+    # committed artifact (advisor r3: the perf/accuracy table in
+    # docs/performance.md must be re-verifiable offline)
+    import datetime
+    import json
+
+    out = dict(
+        shape=[B, N, N], dtype="complex64", kappa=1e4, chi=CHI, reps=REPS,
+        ms_per_call={
+            "xla_qdwh_svd": round(t_a * 1e3, 1),
+            "pjsvd_8_4": round(t_b * 1e3, 1),
+            "pjsvd_6_2": round(t_b2 * 1e3, 1),
+        },
+        accuracy={
+            "xla_qdwh_svd": acc["A"],
+            "pjsvd_8_4": acc["B"],
+            "pjsvd_6_2": acc["B'"],
+        },
+        device=str(jax.devices()[0]),
+        date=datetime.date.today().isoformat(),
+    )
+    path = pathlib.Path(__file__).parent / "microbench_svd_results.json"
+    path.write_text(json.dumps(out, indent=1))
+    print(f"wrote {path}")
 
 
 if __name__ == "__main__":
