@@ -48,24 +48,32 @@ def main():
     eng.T, eng.M = T, M
     print(f"evolved 20 layers chi=8 in {time.time() - t0:.1f}s", flush=True)
 
+    only = sys.argv[1] if len(sys.argv) > 1 else None
     rows = []
-    for tag, rank, proj, overs, piters in [
-        ("bench r2 cfg        ", 10, 40, 8, 1),
-        ("power iters 3       ", 10, 40, 8, 3),
-        ("oversample 24       ", 10, 40, 24, 1),
-        ("oversample 24 + pi3 ", 10, 40, 24, 3),
-        ("proj 64             ", 10, 64, 8, 1),
-        ("rank 16             ", 16, 40, 8, 1),
-        ("rank 16 + ovs24 pi3 ", 16, 64, 24, 3),
+    for tag, rank, proj, overs, piters, qmode in [
+        ("bench r2 cfg        ", 10, 40, 8, 1, "doubled"),
+        ("power iters 3       ", 10, 40, 8, 3, "doubled"),
+        ("oversample 24       ", 10, 40, 24, 1, "doubled"),
+        ("oversample 24 + pi3 ", 10, 40, 24, 3, "doubled"),
+        ("proj 64             ", 10, 64, 8, 1, "doubled"),
+        ("rank 16             ", 16, 40, 8, 1, "doubled"),
+        ("rank 16 + ovs24 pi3 ", 16, 64, 24, 3, "doubled"),
+        # factored-q (round 4): single-layer projected boundaries — rank r
+        # carries doubled-r^2 information, sketched in a chi-dim ambient
+        ("factored r6         ", 10, 6, 8, 1, "factored"),
+        ("factored r8         ", 10, 8, 8, 1, "factored"),
+        ("factored r8 + pi3   ", 10, 8, 8, 3, "factored"),
     ]:
+        if only and only not in tag:
+            continue
         t0 = time.time()
         be = BMPSEngine(eng, rank=rank, oversample=overs, power_iters=piters)
-        sam = BMPSSampler(be, proj_rank=proj)
+        sam = BMPSSampler(be, proj_rank=proj, q_mode=qmode)
         cert = sam.sample_directly_certified(50, seed=1)
         pq = np.array([c["poverq"] for c in cert])
         row = dict(
             tag=tag.strip(), rank=rank, proj=proj, oversample=overs,
-            power_iters=piters, pq_mean=float(pq.mean()),
+            power_iters=piters, q_mode=qmode, pq_mean=float(pq.mean()),
             pq_rel_std=float(pq.std() / pq.mean()),
             seconds=round(time.time() - t0, 1),
         )
@@ -78,7 +86,13 @@ def main():
         )
 
     out = ROOT / "scripts" / "probe_cert_noise_results.json"
-    out.write_text(json.dumps(dict(flex_rel_std=8.06e-4, rows=rows), indent=1))
+    # merge with any earlier (partial/filtered) run, newest row per tag wins
+    old = json.loads(out.read_text())["rows"] if out.exists() else []
+    by_tag = {r["tag"]: r for r in old}
+    by_tag.update({r["tag"]: r for r in rows})
+    out.write_text(
+        json.dumps(dict(flex_rel_std=8.06e-4, rows=list(by_tag.values())), indent=1)
+    )
     print(f"wrote {out}")
 
 
