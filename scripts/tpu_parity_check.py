@@ -100,6 +100,7 @@ def main():
             env_gauge=eng.env_gauge,
             trunc_method=eng.trunc_method,
             svd_impl=getattr(eng, "svd_impl", "auto"),
+            pjsvd_routing=__import__("tnqs.ops.osj", fromlist=["x"]).PJSVD_ROUTING,
             bp_kernel=eng.bp_kernel,
             bp_schedule=eng.plan.bp_schedule,
             dtype="complex64",

@@ -298,6 +298,8 @@ def test_pjsvd_certified_gate(tmp_path):
 
     from tnqs.ops.osj import pjsvd_certified
 
+    from tnqs.ops.osj import PJSVD_ROUTING
+
     ref = {"backend": "tpu", "f32_floor_per_layer": [1e-6, 5e-6]}
     # empty dir: no artifact -> not certified
     assert not pjsvd_certified(tmp_path)
@@ -305,14 +307,24 @@ def test_pjsvd_certified_gate(tmp_path):
     # candidate missing -> not certified
     assert not pjsvd_certified(tmp_path)
     # candidate over the floor -> not certified
-    cand = {"backend": "tpu", "dev_from_f64_per_layer": [1e-6, 6e-6]}
+    cand = {
+        "backend": "tpu",
+        "engine": {"pjsvd_routing": PJSVD_ROUTING},
+        "dev_from_f64_per_layer": [1e-6, 6e-6],
+    }
     (tmp_path / "tpu_parity_chi64_pjsvd.json").write_text(json.dumps(cand))
     assert not pjsvd_certified(tmp_path)
     # candidate at/below the floor -> certified
     cand["dev_from_f64_per_layer"] = [1e-6, 4e-6]
     (tmp_path / "tpu_parity_chi64_pjsvd.json").write_text(json.dumps(cand))
     assert pjsvd_certified(tmp_path)
+    # a stale-routing candidate never certifies (the artifact must have
+    # been produced by the CURRENT kernel dispatch)
+    cand["engine"] = {"pjsvd_routing": "square-only-v1"}
+    (tmp_path / "tpu_parity_chi64_pjsvd.json").write_text(json.dumps(cand))
+    assert not pjsvd_certified(tmp_path)
     # a CPU-run candidate never certifies, however good its numbers
+    cand["engine"] = {"pjsvd_routing": PJSVD_ROUTING}
     cand["backend"] = "cpu"
     (tmp_path / "tpu_parity_chi64_pjsvd.json").write_text(json.dumps(cand))
     assert not pjsvd_certified(tmp_path)
@@ -336,3 +348,55 @@ def test_svd_impl_auto_resolves_on_cpu():
         assert eng2.svd_impl == "pjsvd"
     finally:
         del os.environ["TNQS_SVD_IMPL"]
+
+
+def _rect_spectrum_matrix(rng, M, n, spectrum):
+    s = np.zeros(n)
+    s[: min(len(spectrum), n)] = spectrum[:n]
+    U, _ = np.linalg.qr(rng.normal(size=(M, n)) + 1j * rng.normal(size=(M, n)))
+    V, _ = np.linalg.qr(rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+    return (U * s[None, :]) @ V.conj().T
+
+
+@pytest.mark.parametrize("Mn", [(256, 128), (128, 64)], ids=["256x128", "128x64"])
+def test_pjsvd_rectangular_graded_accuracy(rng, Mn):
+    """Tall thetas (the bulk heavy-hex classes: deg-2/deg-3 edges give
+    [256, 128]) must hold the same truncated-factor accuracy as the square
+    path — rotations act on columns, so the row count only changes tile
+    height (round-4: square-only routing left the bulk classes on the XLA
+    SVD, which was most of the direct-SVD premium in the layer profile)."""
+    from tnqs.ops.osj import pjsvd
+
+    M, n = Mn
+    k = n // 2
+    spectrum = np.geomspace(1.0, 1e-4, n)
+    A = np.stack([_rect_spectrum_matrix(rng, M, n, spectrum) for _ in range(2)])
+    A = A.astype(np.complex64)
+    U, s, Vh = jax.jit(lambda x: pjsvd(x, interpret=True))(jnp.asarray(A))
+    U, s, Vh = np.asarray(U), np.asarray(s), np.asarray(Vh)
+    assert U.shape == (2, M, n) and Vh.shape == (2, n, n)
+    assert np.isfinite(U).all() and np.isfinite(s).all() and np.isfinite(Vh).all()
+    U0, s0, Vh0 = np.linalg.svd(A.astype(np.complex128), full_matrices=False)
+    rec = np.einsum("bij,bj,bjk->bik", U[:, :, :k], s[:, :k], Vh[:, :k, :])
+    best = np.einsum("bij,bj,bjk->bik", U0[:, :, :k], s0[:, :k], Vh0[:, :k, :])
+    recon = np.max(np.linalg.norm((rec - best).reshape(2, -1), axis=1) / s0[:, 0])
+    assert recon < 3e-5, f"truncated reconstruction {recon:.2e}"
+    s_err = np.max(np.abs(s - s0) / s0[:, :1])
+    assert s_err < 1e-4, f"singular value error {s_err:.2e}"
+
+
+def test_pjsvd_wide_adjoint_identity(rng):
+    """The engine routes wide thetas through the adjoint:
+    svd(A) = (Vh_t^H, s, U_t^H) for svd(A^H).  Check the composed identity
+    against numpy on a [2, 64, 128] batch."""
+    from tnqs.ops.osj import pjsvd
+
+    A = _rand_c(rng, (2, 64, 128)).astype(np.complex64)
+    Ut, s, Vht = jax.jit(lambda x: pjsvd(x, interpret=True))(
+        jnp.conj(jnp.swapaxes(jnp.asarray(A), -1, -2))
+    )
+    U = np.conj(np.swapaxes(np.asarray(Vht), -1, -2))
+    Vh = np.conj(np.swapaxes(np.asarray(Ut), -1, -2))
+    s = np.asarray(s)
+    rec = np.einsum("bij,bj,bjk->bik", U[:, :, :64], s[:, :64], Vh[:, :64, :])
+    assert np.max(np.abs(rec - A)) < 5e-5

@@ -1205,13 +1205,32 @@ class LatticeEngine:
                 )
             for (m_, n_), items in svd_bank.items():
                 Ts = jnp.concatenate([t for (_, t) in items], axis=0)
+                # the Jacobi kernel covers tall/square iterates with an
+                # even column count; wide thetas go through the adjoint
+                # (the bulk heavy-hex classes are [128, 256]/[256, 128] —
+                # square-only routing left them on the XLA SVD, which the
+                # round-4 profile showed was most of the direct-SVD
+                # premium: 578 vs 553 ms/layer with only the square
+                # classes routed)
+                # >= 8: degree-1 boundary vertices (Eagle) give [2, 256]
+                # thetas whose 2x2 Gram breaks the kernel's column
+                # round-robin at m=1 — and cost nothing on the XLA SVD
                 use_pjsvd = (
-                    self.svd_impl == "pjsvd" and m_ == n_ and m_ % 2 == 0
+                    self.svd_impl == "pjsvd"
+                    and min(m_, n_) % 2 == 0
+                    and min(m_, n_) >= 8
                 )
                 if use_pjsvd:
                     from .ops.osj import pjsvd
 
-                    U_all, s_all, Vh_all = pjsvd(Ts)
+                    if m_ >= n_:
+                        U_all, s_all, Vh_all = pjsvd(Ts)
+                    else:
+                        Ut, s_all, Vht = pjsvd(
+                            jnp.conj(jnp.swapaxes(Ts, -1, -2))
+                        )
+                        U_all = jnp.conj(jnp.swapaxes(Vht, -1, -2))
+                        Vh_all = jnp.conj(jnp.swapaxes(Ut, -1, -2))
                 else:
                     U_all, s_all, Vh_all = jnp.linalg.svd(
                         Ts, full_matrices=False

@@ -91,6 +91,11 @@ def pjsvd_certified(golden_dir=None) -> bool:
         ref = json.loads((d / "tpu_parity_chi64.json").read_text())
         if cand.get("backend") != "tpu":
             return False
+        # the artifact must have been produced by THIS routing (see
+        # PJSVD_ROUTING): a square-only-era artifact cannot certify the
+        # rectangular-class dispatch
+        if cand.get("engine", {}).get("pjsvd_routing") != PJSVD_ROUTING:
+            return False
         devs = np.asarray(cand["dev_from_f64_per_layer"], dtype=float)
         floors = np.asarray(ref["f32_floor_per_layer"], dtype=float)
         if devs.shape != floors.shape or devs.size == 0:
@@ -101,6 +106,12 @@ def pjsvd_certified(golden_dir=None) -> bool:
         return False
 
 Array = jax.Array
+
+# Bump whenever the set of theta classes routed to the kernel (or the
+# kernel algorithm itself) changes: `pjsvd_certified` requires the
+# committed on-chip artifact to carry the SAME marker, so a stale artifact
+# can never certify a routing it did not actually run.
+PJSVD_ROUTING = "tall+wide-adjoint-v2"
 
 
 def _rot_params_rel(a, b, gr, gi, eps):
@@ -128,7 +139,11 @@ def _rot_params_rel(a, b, gr, gi, eps):
 
 
 def _make_osj_kernel(n: int, m: int, sweeps: int, eps: float):
-    """Kernel refs: 4 A + 4 V tiles [Bc, n, m] in, 4 A + 4 V tiles out."""
+    """Kernel refs: 4 A tiles [Bc, R, m] + 4 V tiles [Bc, n, m] in, same
+    out.  `n` is the COLUMN count (rotation schedule length); the A tiles'
+    row count R >= n only sets tile height — reductions run over axis 1
+    and rotations mix columns, so square and tall iterates share one
+    kernel body."""
 
     def kernel(
         ialr, iali, iarr, iari, ivlr, ivli, ivrr, ivri,
@@ -189,20 +204,24 @@ def _make_osj_kernel(n: int, m: int, sweeps: int, eps: float):
     return kernel
 
 
-def _chunk_size(n: int, m: int) -> int:
-    """Batch chunk per grid program: 8 planes in, 8 planes out, 8-plane
-    carry, all [Bc, n, m] f32 — ~7 MB of tiles per program (the measured
-    scoped-VMEM request is ~15x tile bytes; v5e exposes 128 MiB)."""
-    per_matrix_bytes = 24 * n * m * 4
+def _chunk_size(R: int, n: int, m: int) -> int:
+    """Batch chunk per grid program: 4 A planes [Bc, R, m] + 4 V planes
+    [Bc, n, m], each in/out/carry — ~7 MB of tiles per program (the
+    measured scoped-VMEM request is ~15x tile bytes; v5e exposes
+    128 MiB)."""
+    per_matrix_bytes = 12 * (R + n) * m * 4
     bc = max(1, (7 << 20) // per_matrix_bytes)
     return int(min(bc, 512))
 
 
 @partial(jax.jit, static_argnames=("sweeps", "interpret"))
 def osj_svd(A: Array, V0: Array | None = None, sweeps: int = 10, interpret: bool = False):
-    """Thin SVD of batched square A [..., n, n] (n even) by one-sided
-    Jacobi.  Returns (U [..., n, n], s [..., n] descending, Vh [..., n, n])
-    with A ~= U @ diag(s) @ Vh — the `jnp.linalg.svd` contract.
+    """Thin SVD of batched A [..., R, n] (R >= n, n even) by one-sided
+    Jacobi.  Returns (U [..., R, n], s [..., n] descending, Vh [..., n, n])
+    with A ~= U @ diag(s) @ Vh — the `jnp.linalg.svd` contract.  Tall
+    iterates cost only taller column tiles: rotations act on columns, so
+    the schedule and the error analysis are row-count independent (the
+    engine's heavy-hex theta classes are [256, 128]-shaped in the bulk).
 
     `V0` warm-starts the rotation accumulator: pass an ORTHONORMAL
     approximate right-singular basis and the pre-rotated iterate A @ V0 as
@@ -218,16 +237,17 @@ def osj_svd(A: Array, V0: Array | None = None, sweeps: int = 10, interpret: bool
     masked sqrt(s) = 0, and a zero column cannot inject noise."""
     batch_shape = A.shape[:-2]
     n = A.shape[-1]
-    if A.shape[-2] != n or n % 2 != 0:
-        raise ValueError("osj_svd requires square batched matrices with even n")
+    R = A.shape[-2]
+    if R < n or n % 2 != 0:
+        raise ValueError("osj_svd requires tall/square batched matrices with even column count")
     m = n // 2
     B = int(np.prod(batch_shape)) if batch_shape else 1
     if B == 0:
         return jnp.linalg.svd(A, full_matrices=False)
-    Bc = _chunk_size(n, m)
+    Bc = _chunk_size(R, n, m)
     G = -(-B // Bc)
     Bp = G * Bc
-    Ab = A.reshape(B, n, n)
+    Ab = A.reshape(B, R, n)
     complex_in = jnp.iscomplexobj(A)
     ar = jnp.real(Ab).astype(jnp.float32)
     ai = jnp.imag(Ab).astype(jnp.float32) if complex_in else jnp.zeros_like(ar)
@@ -264,11 +284,11 @@ def osj_svd(A: Array, V0: Array | None = None, sweeps: int = 10, interpret: bool
     eps = float(np.finfo(np.float32).eps)
     kern = _make_osj_kernel(n, m, sweeps, eps)
 
-    def spec():
+    def spec(rows):
         kwargs = {}
         if _HAVE_PLTPU and not interpret:
             kwargs["memory_space"] = pltpu.VMEM
-        return pl.BlockSpec((Bc, n, m), lambda i: (i, 0, 0), **kwargs)
+        return pl.BlockSpec((Bc, rows, m), lambda i: (i, 0, 0), **kwargs)
 
     kwargs = {}
     if _HAVE_PLTPU and not interpret:
@@ -279,10 +299,11 @@ def osj_svd(A: Array, V0: Array | None = None, sweeps: int = 10, interpret: bool
         outs = pl.pallas_call(
             kern,
             grid=(G,),
-            in_specs=[spec()] * 8,
-            out_specs=tuple([spec()] * 8),
+            in_specs=[spec(R)] * 4 + [spec(n)] * 4,
+            out_specs=tuple([spec(R)] * 4 + [spec(n)] * 4),
             out_shape=tuple(
-                [jax.ShapeDtypeStruct((Bp, n, m), jnp.float32)] * 8
+                [jax.ShapeDtypeStruct((Bp, R, m), jnp.float32)] * 4
+                + [jax.ShapeDtypeStruct((Bp, n, m), jnp.float32)] * 4
             ),
             interpret=interpret,
             **kwargs,
@@ -311,7 +332,7 @@ def osj_svd(A: Array, V0: Array | None = None, sweeps: int = 10, interpret: bool
     s_out = (s * scale.reshape(B, 1).astype(s.dtype)).astype(
         jnp.real(jnp.zeros((), A.dtype)).dtype
     )
-    U = U.reshape(batch_shape + (n, n))
+    U = U.reshape(batch_shape + (R, n))
     Vh = Vh.reshape(batch_shape + (n, n))
     s_out = s_out.reshape(batch_shape + (n,))
     return U, s_out, Vh
