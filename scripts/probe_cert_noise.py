@@ -63,6 +63,14 @@ def main():
         ("factored r6         ", 10, 6, 8, 1, "factored"),
         ("factored r8         ", 10, 8, 8, 1, "factored"),
         ("factored r8 + pi3   ", 10, 8, 8, 3, "factored"),
+        ("factored r12 + pi3  ", 10, 12, 8, 3, "factored"),
+        ("factored r16 + pi3  ", 10, 16, 8, 3, "factored"),
+        ("factored r16 + pi5  ", 10, 16, 16, 5, "factored"),
+        # the norm-network RIGHT boundaries are doubled sketches at the
+        # BMPSEngine rank — raise them too (flex's deterministic fitting
+        # at rank 10 has no sketch noise; ours needs rank/power headroom)
+        ("factored nrm24      ", 24, 12, 8, 3, "factored"),
+        ("factored nrm32 pi5  ", 32, 16, 16, 5, "factored"),
     ]:
         if only and only not in tag:
             continue
