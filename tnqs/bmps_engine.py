@@ -373,6 +373,55 @@ def _pass_step_block(C, Min, K, B, *, budget: int):
     return jnp.concatenate(outs, axis=2)
 
 
+# Emit steps whose conceptual step MATRIX [q*r*R, P*A*B] is at most this
+# many elements are truncated by DETERMINISTIC exact SVD instead of the
+# randomized sketch: materializing a small step tensor costs nothing, the
+# truncation is optimal (Eckart–Young) instead of sketch-noisy, and the
+# result is monotone in rank — the randomized path exists only because the
+# chi=64 DOUBLED emit tensor (rank*chi^2 per side, ~4e9 elements) cannot be
+# materialized.  This is what closes the certified-sampling p/q spread vs
+# the flex tier (round-3 verdict item 3): flex's zip-up recompresses with
+# exact SVDs (`boundarympscache.jl:401-450`), so its certificates carry no
+# sketch noise; at w2 scale (chi=8, rank 10 -> a 640x640 matrix) ours now
+# doesn't either.  Env override: TNQS_EXACT_EMIT elements (0 disables).
+_EXACT_EMIT_LIMIT = int(float(os.environ.get("TNQS_EXACT_EMIT", 2**22)))
+
+
+def _exact_trunc_svd(Am, m_shape, cols_shape, keep: int):
+    """Exact truncated SVD of the materialized step matrix `Am` [M, N],
+    returned in the `_rand_trunc_factored` convention: (Q [..rows.., k],
+    C/||C|| [..cols.., k], log ||C||) with A ~= Q @ C^T."""
+    U, s, Vh = jnp.linalg.svd(Am, full_matrices=False)
+    Q = U[:, :keep].reshape(*m_shape, keep)
+    Ct = (s[:keep].astype(Am.dtype)[:, None] * Vh[:keep]).T
+    C = Ct.reshape(*cols_shape, keep)
+    c_n = jnp.sqrt(jnp.sum(jnp.abs(C) ** 2)) + 1e-30
+    return Q, C / c_n, jnp.log(jnp.real(c_n))
+
+
+@partial(jax.jit, static_argnames=("keep",))
+def _exact_emit_step_block(C, Min, K, B, *, keep: int):
+    """Deterministic exact-SVD emit step (doubled layer): materialize the
+    step tensor C[q,p,a,b] Min[p,l,m,P] K[s,a,A,l,r] B[s,b,B,m,R] ->
+    [(q,r,R), (P,A,B)] and truncate optimally.  Only called when the
+    matrix fits `_EXACT_EMIT_LIMIT`."""
+    A6 = ceinsum("qpab,plmP,saAlr,sbBmR->qrRPAB", C, Min, K, B)
+    q, rk, rb, P, Ak, Bb = A6.shape
+    return _exact_trunc_svd(
+        A6.reshape(q * rk * rb, P * Ak * Bb), (q, rk, rb), (P, Ak, Bb), keep
+    )
+
+
+@partial(jax.jit, static_argnames=("keep",))
+def _exact_emit1_step_block(C, Min, K, *, keep: int):
+    """Deterministic exact-SVD emit step (single layer): materialize
+    C[q,p,a] Min[p,l,P] K[a,A,l,r] -> [(q,r), (P,A)] and truncate
+    optimally."""
+    A4 = ceinsum("qpa,plP,aAlr->qrPA", C, Min, K)
+    q, r, P, Ak = A4.shape
+    return _exact_trunc_svd(A4.reshape(q * r, P * Ak), (q, r), (P, Ak), keep)
+
+
 @partial(jax.jit, static_argnames=("xc", "keep", "power_iters"))
 def _emit_step_block(C, Min, K, B, omega, *, xc: int, keep: int, power_iters: int):
     """Jitted emit-vertex step of the zip sweep: the matrix-free
@@ -581,6 +630,15 @@ class BMPSEngine:
                 M_ = q * rk * rb
                 N_ = P * Ak * Bb
                 x = min(rank, M_, N_)
+                if M_ * N_ <= _EXACT_EMIT_LIMIT:
+                    # small step matrix: deterministic optimal truncation
+                    # (no sketch noise; see _EXACT_EMIT_LIMIT)
+                    Q, Cnew, logn = _exact_emit_step_block(C, Min, K, B, keep=x)
+                    logscale = logscale + logn
+                    emitted[emit_of[v]] = Q
+                    C = jnp.moveaxis(Cnew, -1, 0)  # [x, P, A, B]
+                    last_emit = emit_of[v]
+                    continue
                 # Oversampled sketch, truncated back to x after whitening.
                 # Drawn ON DEVICE from a per-(column, direction, vertex)
                 # fold of the sketch key: host-side draws would embed
@@ -1564,6 +1622,15 @@ class BMPSSampler:
             if v in emit_of:
                 M_, N_ = q * r, P * A
                 x = min(rank, M_, N_)
+                if M_ * N_ <= _EXACT_EMIT_LIMIT:
+                    # small step matrix: deterministic optimal truncation
+                    # (no sketch noise; see _EXACT_EMIT_LIMIT)
+                    Q, Cnew, logn = _exact_emit1_step_block(C, Min, Kx, keep=x)
+                    logscale = logscale + logn
+                    emitted[emit_of[v]] = Q  # [q, r, x]
+                    C = jnp.moveaxis(Cnew, -1, 0)  # [x, P, A]
+                    last_emit = emit_of[v]
+                    continue
                 xs = min(x + be.oversample, M_, N_)
                 # tag=0: the independent certification sweep; tag=1: the
                 # factored-q DRAW boundaries.  Distinct folds keep the
