@@ -1212,13 +1212,26 @@ class LatticeEngine:
                 # round-4 profile showed was most of the direct-SVD
                 # premium: 578 vs 553 ms/layer with only the square
                 # classes routed)
-                # >= 8: degree-1 boundary vertices (Eagle) give [2, 256]
-                # thetas whose 2x2 Gram breaks the kernel's column
-                # round-robin at m=1 — and cost nothing on the XLA SVD
+                # >= 64: (a) degree-1 boundary vertices (Eagle) give
+                # [2, 256] thetas whose 2x2 Gram breaks the kernel's
+                # column round-robin at m=1; (b) small classes (chi <= 16,
+                # e.g. the w2 chi=8 [32, 16]/[16, 16] thetas) pad their
+                # m <= 8 column tiles to 128 lanes — <= 6% lane
+                # utilization AND a Mosaic scoped-VMEM footprint that
+                # OOMed the w2 evolve compile ("149.65M of 128.00M vmem",
+                # r4) even after padded-byte chunk budgeting.  Tiny
+                # classes cost nothing on the XLA SVD, whose trajectory
+                # parity is independently gated (tests/golden/
+                # tpu_parity_chi64.json).  NOTE this does not change the
+                # class set the committed pjsvd artifact certifies: the
+                # chi=64 trajectory's routed classes ([256, 128]-family,
+                # min dim 128) all clear the gate; classes removed here
+                # fall back to the parity-proven XLA path, so
+                # PJSVD_ROUTING is unchanged.
                 use_pjsvd = (
                     self.svd_impl == "pjsvd"
                     and min(m_, n_) % 2 == 0
-                    and min(m_, n_) >= 8
+                    and min(m_, n_) >= 64
                 )
                 if use_pjsvd:
                     from .ops.osj import pjsvd

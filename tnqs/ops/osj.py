@@ -206,11 +206,18 @@ def _make_osj_kernel(n: int, m: int, sweeps: int, eps: float):
 
 def _chunk_size(R: int, n: int, m: int) -> int:
     """Batch chunk per grid program: 4 A planes [Bc, R, m] + 4 V planes
-    [Bc, n, m], each in/out/carry — ~7 MB of tiles per program (the
-    measured scoped-VMEM request is ~15x tile bytes; v5e exposes
-    128 MiB)."""
-    per_matrix_bytes = 12 * (R + n) * m * 4
-    bc = max(1, (7 << 20) // per_matrix_bytes)
+    [Bc, n, m], each in/out/carry.  Budgeted against the HARDWARE tile
+    footprint: Mosaic pads the lane (last) dim to 128 and the sublane dim
+    to 8, so a [Bc, 32, 8] f32 tile really occupies [Bc, 32, 128] of VMEM
+    — 16x the logical bytes.  Budgeting logical bytes OOMed the w2 chi=8
+    evolve at exactly this ratio ("Used 149.65M of 128.00M vmem": Bc=398
+    of [., 48, 8->128] tiles).  12 MB of padded tiles/program leaves the
+    measured rotation-scratch headroom inside v5e's 128 MiB scoped VMEM,
+    and reproduces the chi=64 chunking that the committed parity artifact
+    and headline ran ([256,128] -> Bc=5)."""
+    m_pad = -(-m // 128) * 128
+    per_matrix_bytes = 12 * (-(-R // 8) * 8 + -(-n // 8) * 8) * m_pad * 4
+    bc = max(1, (12 << 20) // per_matrix_bytes)
     return int(min(bc, 512))
 
 
