@@ -592,6 +592,19 @@ def main():
         "unit": "layers/sec",
         "vs_baseline": round(layers_per_sec / flex_lps, 2),
     }
+    # analytic FLOP/roofline accounting (host-side, priced off the static
+    # plan — adds no device work): achieved FLOP/s and MFU vs the v5e
+    # f32-highest matmul ceiling (`tnqs/utils/flops.py` documents the model)
+    try:
+        from tnqs.utils.flops import layer_flops, mfu
+
+        fl = layer_flops(eng, layer)
+        roof = mfu(fl["total"], layers_per_sec)
+        result["flops_per_layer"] = round(fl["total"], 1)
+        result["achieved_tflops"] = round(roof["achieved_flops"] / 1e12, 4)
+        result["mfu"] = round(roof["mfu"], 5)
+    except Exception as e:  # never let accounting kill the headline
+        print(f"# flop accounting failed: {e!r}", file=sys.stderr)
     print(json.dumps(result), flush=True)
 
     def budget_ok(stage: str, est_s: float) -> bool:
