@@ -697,6 +697,14 @@ def main():
         result["chi64_measure_s"] = round(
             float(np.nansum([m64["expect_s"], m64["sample50_s"]])), 3
         )
+        # provenance of the rank-10 flex cross-check: 'cpu-engine' means it
+        # was measured offline against a CPU-engine evolution of the same
+        # trajectory, NOT the TPU state measured above (advisor r4) — the
+        # key makes that visible in the driver-parsed JSON
+        if "flex_z10" in m64:
+            result["chi64_flex_z10_state"] = m64["flex_z10"].get(
+                "state", "same-state"
+            )
         result["chi64_pq_rel_std"] = (
             round(m64["pq_rel_std"], 5) if m64["pq_rel_std"] == m64["pq_rel_std"]
             else None
@@ -729,6 +737,8 @@ def main():
     )
     if m64 is not None:
         fz = m64.get("flex_z10", {})
+        if fz.get("state"):
+            print(f"# chi64 flex_r10 provenance: {fz['state']}", file=sys.stderr)
         print(
             f"# chi=64 measurement: BMPS<Z> rank16 {m64['expect_s']:.2f}s "
             f"(cold {m64['expect_cold_s']:.1f}s) + 50 certified samples "

@@ -202,13 +202,20 @@ def test_zip_chunking_is_exact():
         g, "S=1/2", bond_dimension=3, rng=np.random.default_rng(3), dtype=np.complex64
     )
     eng = LatticeEngine(psi, chi=3)
-    z_ref = BMPSEngine(eng, rank=4, oversample=2).expect_1site("Z")
+    # disable the deterministic exact-emit fast path in BOTH runs: the
+    # per-lane budget also gates it (advisor r4), so the tiny-budget run
+    # would otherwise flip exact -> sketch and the comparison would test
+    # the wrong thing (sketch vs exact instead of chunked vs unchunked)
+    old_limit = BE._EXACT_EMIT_LIMIT
     old = BE._EINSUM_BUDGET
     try:
+        BE._EXACT_EMIT_LIMIT = 0
+        z_ref = BMPSEngine(eng, rank=4, oversample=2).expect_1site("Z")
         BE._EINSUM_BUDGET = 64  # force chunk size ~1
         z_chunked = BMPSEngine(eng, rank=4, oversample=2).expect_1site("Z")
     finally:
         BE._EINSUM_BUDGET = old
+        BE._EXACT_EMIT_LIMIT = old_limit
     for v in g.vertices():
         # same sketch, same algebra; chunked einsums may pick different
         # contraction paths, so agreement is at f32 reassociation level

@@ -118,3 +118,44 @@ def test_line_plans_unchanged():
         # sketch-whitening floor of the compiled sweep at chi=2/4x3) —
         # this test pins no-regression, not absolute accuracy
         assert abs(z[v].real - ze) < 1e-3, (v, z[v].real, ze)
+
+
+def test_named_grid_periodic_ndarray():
+    """Per-axis periodic flags as any non-str sequence (advisor r4: a
+    numpy array previously hit an opaque truthiness error)."""
+    g_arr = tnqs.named_grid((4, 3), periodic=np.array([True, False]))
+    g_tup = tnqs.named_grid((4, 3), periodic=(True, False))
+    assert {frozenset(e) for e in g_arr.edges()} == {
+        frozenset(e) for e in g_tup.edges()
+    }
+    with pytest.raises(ValueError, match="periodic"):
+        tnqs.named_grid((4, 3), periodic=np.array([True]))
+    with pytest.raises(TypeError, match="periodic"):
+        tnqs.named_grid((4, 3), periodic="yes")
+
+
+def test_malformed_ring_rejected():
+    """A stray long-range edge must NOT silently enable the approximate
+    ring closure: the quotient has to be a genuine ring (every
+    consecutive cut non-empty) or ColumnPlan.build errors (advisor r4)."""
+    from tnqs.bmps_engine import BMPSEngine
+
+    g = tnqs.NamedGraph([(c, 1) for c in range(1, 5)])
+    g.add_edge((1, 1), (2, 1))
+    g.add_edge((3, 1), (4, 1))
+    g.add_edge((4, 1), (1, 1))  # spans nC-1 columns, but cut 1 is empty
+    psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+    eng = LatticeEngine(psi, chi=2, dtype=jnp.complex64)
+    with pytest.raises(ValueError, match="not a ring"):
+        BMPSEngine(eng, rank=2)
+
+
+def test_ring_split_expect_matches_fused():
+    """Ring plans through the split per-column programs (round-4 verdict
+    missing #2): identical algebra to the fused sweep, so exact match."""
+    g, eng = _cylinder_engine()
+    be = BMPSEngine(eng, rank=4)
+    zf = be.expect_1site("Z")
+    zs = be.expect_1site("Z", split=True)
+    for v in g.vertices():
+        assert abs(zf[v] - zs[v]) < 5e-6

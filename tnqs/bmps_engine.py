@@ -123,6 +123,17 @@ class ColumnPlan:
         periodic = bool(wrap)
         if periodic:
             cross.append(wrap)  # cut nC-1: last column -> column 0
+            # a genuine ring quotient connects EVERY consecutive column
+            # pair (mod nC); a malformed non-cylinder lattice with one
+            # stray long-range edge must error like any other non-adjacent
+            # edge instead of silently getting the ring closure (advisor r4)
+            empty = [c for c, es in enumerate(cross) if not es]
+            if empty:
+                raise ValueError(
+                    f"wrap edges {wrap} imply a ring column quotient, but "
+                    f"cut(s) {empty} are empty — the quotient is not a ring "
+                    "(stray long-range edge?); use the flex tier"
+                )
         for c, es in enumerate(cross):
             by_src = sorted(es, key=lambda e: order_in_col[e[0]])
             by_dst = sorted(es, key=lambda e: order_in_col[e[1]])
@@ -630,7 +641,12 @@ class BMPSEngine:
                 M_ = q * rk * rb
                 N_ = P * Ak * Bb
                 x = min(rank, M_, N_)
-                if M_ * N_ <= _EXACT_EMIT_LIMIT:
+                # also respect the caller's per-lane `budget`: inside the
+                # vmapped sampler every lane would otherwise materialize up
+                # to _EXACT_EMIT_LIMIT-sized step tensors + a dense SVD,
+                # bypassing the machinery that bounds per-lane intermediates
+                # (advisor r4)
+                if M_ * N_ <= min(_EXACT_EMIT_LIMIT, budget):
                     # small step matrix: deterministic optimal truncation
                     # (no sketch noise; see _EXACT_EMIT_LIMIT)
                     Q, Cnew, logn = _exact_emit_step_block(C, Min, K, B, keep=x)
@@ -908,8 +924,6 @@ class BMPSEngine:
 
         eng = self.engine
         cp = self.cplan
-        if cp.periodic:
-            raise NotImplementedError("split expect does not cover ring plans")
         nC = len(cp.columns)
         if vertices is None:
             columns = tuple(range(nC))
@@ -945,18 +959,45 @@ class BMPSEngine:
         op = device_put(
             np.asarray(op_matrix(opname, eng.d)).astype(np.dtype(eng.dtype))
         )
-        lefts: list = [()] * nC
-        cur: tuple = ()
-        for c in range(nC):
-            lefts[c] = cur
-            if c < nC - 1:
-                cur = zip_fn(c, +1)(T, cur)
-        rights: list = [()] * nC
-        cur = ()
-        for c in range(nC - 1, -1, -1):
-            rights[c] = cur
-            if c > 0:
-                cur = zip_fn(c, -1)(T, cur)
+        if cp.periodic:
+            # ring plans: same Gauss-Seidel relaxation around the ring as
+            # the fused path (`_boundary_mpses`), but one compiled program
+            # per (column, direction) — each zip program is reused across
+            # ring_iters passes, so the split path compiles the SAME number
+            # of programs as on a line plan
+            eids = eng.plan.edge_ids
+
+            def init_cut(cut, reverse):
+                return tuple(
+                    eng.M[eids[(w, u)] if reverse else eids[(u, w)]][
+                        None, :, :, None
+                    ]
+                    for (u, w) in cut
+                )
+
+            lefts = {c: init_cut(cp.cross[(c - 1) % nC], False) for c in range(nC)}
+            for _ in range(max(self.ring_iters, 1)):
+                for c in range(nC):
+                    lefts[(c + 1) % nC] = zip_fn(c, +1)(T, lefts[c])
+            rights = {c: init_cut(cp.cross[c], True) for c in range(nC)}
+            for _ in range(max(self.ring_iters, 1)):
+                for c in range(nC - 1, -1, -1):
+                    rights[(c - 1) % nC] = zip_fn(c, -1)(T, rights[c])
+            lefts = [lefts[c] for c in range(nC)]
+            rights = [rights[c] for c in range(nC)]
+        else:
+            lefts = [()] * nC
+            cur: tuple = ()
+            for c in range(nC):
+                lefts[c] = cur
+                if c < nC - 1:
+                    cur = zip_fn(c, +1)(T, cur)
+            rights = [()] * nC
+            cur = ()
+            for c in range(nC - 1, -1, -1):
+                rights[c] = cur
+                if c > 0:
+                    cur = zip_fn(c, -1)(T, cur)
         out = {}
         for c in columns:
             jfn, keys = ladder_fn(c)
@@ -1568,14 +1609,18 @@ class BMPSSampler:
                 diag / jnp.where(ok, tr, 1.0),
                 jnp.full((d,), 1.0 / d, dtype=diag.dtype),
             )
+            # floor + renormalize BEFORE the draw so the categorical and the
+            # importance weight use the SAME distribution: flooring only the
+            # weight would draw a branch with one probability but weight it
+            # with another, biasing E_q[p/q] by ~d*1e-12 per vertex (advisor
+            # r4); the floor also keeps the rsqrt/log below finite
+            qdist = jnp.maximum(qdist, 1e-12)
+            qdist = qdist / jnp.sum(qdist)
             b = jax.random.categorical(
                 jax.random.fold_in(key, self._vidx[v]),
-                jnp.log(qdist + 1e-30).astype(jnp.float32),
+                jnp.log(qdist).astype(jnp.float32),
             )
-            # the drawn branch always has qdist[b] >= uniform-fallback mass
-            # up to f32 rounding; the floor keeps rsqrt/log finite without
-            # biasing any realizable draw
-            qv = jnp.maximum(qdist[b], 1e-12)
+            qv = qdist[b]
             oh = jax.nn.one_hot(b, K.shape[0], dtype=jnp.float32).astype(dt)
             Kpv = jnp.einsum("s,sudlr->udlr", oh, K)[None] * jax.lax.rsqrt(
                 qv.astype(jnp.float32)
@@ -1622,7 +1667,8 @@ class BMPSSampler:
             if v in emit_of:
                 M_, N_ = q * r, P * A
                 x = min(rank, M_, N_)
-                if M_ * N_ <= _EXACT_EMIT_LIMIT:
+                # per-lane budget gate: see the doubled-layer emit above
+                if M_ * N_ <= min(_EXACT_EMIT_LIMIT, budget):
                     # small step matrix: deterministic optimal truncation
                     # (no sketch noise; see _EXACT_EMIT_LIMIT)
                     Q, Cnew, logn = _exact_emit1_step_block(C, Min, Kx, keep=x)

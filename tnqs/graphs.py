@@ -802,11 +802,15 @@ def named_grid(dims: Sequence[int], periodic=False) -> NamedGraph:
     ring-quotient geometry of the compiled boundary-MPS tier.
     """
     dims = tuple(int(d) for d in dims)
-    per = (
-        tuple(bool(p) for p in periodic)
-        if isinstance(periodic, (tuple, list))
-        else (bool(periodic),) * len(dims)
-    )
+    # accept any non-string sequence (tuple/list/ndarray/...) as per-axis
+    # flags; a bare ndarray previously fell into the scalar-bool branch and
+    # raised an opaque truthiness error (advisor r4)
+    if isinstance(periodic, str):
+        raise TypeError(f"periodic must be a bool or sequence of bools, got {periodic!r}")
+    try:
+        per = tuple(bool(p) for p in periodic)  # type: ignore[union-attr]
+    except TypeError:
+        per = (bool(periodic),) * len(dims)
     if len(per) != len(dims):
         raise ValueError(f"periodic {periodic} does not match dims {dims}")
     if len(dims) == 1:
