@@ -1207,19 +1207,123 @@ class BMPSEngine:
             rho = rho / np.trace(rho)
         return rho
 
+    def _column_scalar(self, T, c: int, L: list, R: list, dt, B_of):
+        """Complex partition scalar of column c of the bilinear sandwich
+        given boundary MPSes on both cuts: a pass-only ladder walk down the
+        column (the compiled counterpart of the reference's per-partition
+        `vertex_scalar`, `boundarympscache.jl:504-519`).  Returns
+        (log|z|, unit phase)."""
+        cp = self.cplan
+        col = cp.columns[c]
+        nC = len(cp.columns)
+        lcut = cp.cross[(c - 1) % nC] if (c > 0 or cp.periodic) else []
+        rcut = cp.cross[c] if (c < len(cp.cross)) else []
+        l_of = {e[1]: i for i, e in enumerate(lcut)}
+        r_of = {e[0]: i for i, e in enumerate(rcut)}
+        G = jnp.ones((1, 1, 1, 1), dtype=jnp.float32).astype(dt)
+        log_abs = jnp.zeros((), dtype=jnp.float32)
+        for v in col:
+            K = self._vertex_tensor(T, v)
+            B = jnp.conj(B_of(v))
+            Ml = (
+                L[l_of[v]]
+                if v in l_of
+                else jnp.eye(G.shape[0], dtype=jnp.float32).astype(dt).reshape(
+                    G.shape[0], 1, 1, G.shape[0]
+                )
+            )
+            Mr = (
+                R[r_of[v]]
+                if v in r_of
+                else jnp.eye(G.shape[1], dtype=jnp.float32).astype(dt).reshape(
+                    G.shape[1], 1, 1, G.shape[1]
+                )
+            )
+            G = self._ladder_transfer(G, Ml, Mr, K, B)
+            n = jnp.sqrt(jnp.sum(jnp.abs(G) ** 2)) + 1e-30
+            log_abs = log_abs + jnp.log(jnp.real(n))
+            G = G / n
+        val = G.reshape(())
+        mag = jnp.abs(val) + 1e-30
+        return log_abs + jnp.log(mag), val / mag
+
+    @staticmethod
+    def _cut_scalar(Lmsgs: list, Rmsgs: list, dt):
+        """Complex cut scalar <m_e, m_e~>: the chain contraction of the two
+        oppositely-directed boundary MPSes on one cut (the BP edge scalar
+        of the quotient graph, `abstractbeliefpropagationcache.jl:146-148`).
+        Returns (log|z|, unit phase)."""
+        X = jnp.ones((1, 1), dtype=jnp.float32).astype(dt)
+        log_abs = jnp.zeros((), dtype=jnp.float32)
+        for Li, Ri in zip(Lmsgs, Rmsgs):
+            X = jnp.einsum("ab,akKc,bkKd->cd", X, Li, Ri)
+            n = jnp.sqrt(jnp.sum(jnp.abs(X) ** 2)) + 1e-30
+            log_abs = log_abs + jnp.log(jnp.real(n))
+            X = X / n
+        val = X.reshape(())
+        mag = jnp.abs(val) + 1e-30
+        return log_abs + jnp.log(mag), val / mag
+
     # -- overlaps (compiled BilinearForm path) ------------------------------
     def _overlap_fn(self, bra_plan):
         """Jitted (T_ket, T_bra) -> (log|<bra|ket>|, unit phase): left-to-
         right doubled-layer zip sweeps with the bra layer from the second
         state, closed by a pass-only walk down the last column (which keeps
-        the complex phase the scalar branch of `_zip_column` drops)."""
+        the complex phase the scalar branch of `_zip_column` drops).
+
+        Ring (periodic) plans use the quotient-BP partition-function
+        formula instead (the reference treats ring quotients through the
+        same BP outer loop, `boundarympscache.jl:27-30,69-81` +
+        `freenergy`, `abstractbeliefpropagationcache.jl:289-304`):
+        Gauss-Seidel passes around the ring converge the bilinear cut
+        messages from rectangular-identity product inits, then
+        log <bra|ket> = sum_c log z_c - sum_cuts log z_cut with z_c the
+        column scalars and z_cut the cut (edge) scalars; message
+        normalization cancels exactly in the ratio.  Like ring expect,
+        exact only as correlations decay around the ring."""
         cp = self.cplan
         nC = len(cp.columns)
         if cp.periodic:
-            raise NotImplementedError(
-                "compiled overlaps on ring column quotients are not "
-                "supported; use the flex tier (tnqs.inner)"
-            )
+
+            def ring_fn(T, Tb):
+                dt = None
+                for arr in T.values():
+                    dt = arr.dtype
+                B_of = lambda v: self._vertex_tensor(Tb, v, plan=bra_plan)
+
+                def init_cut(cut):
+                    out = []
+                    for (u, w) in cut:
+                        ck = self._vertex_tensor(T, u).shape[4]
+                        cb = B_of(u).shape[4]
+                        m = jnp.eye(ck, cb, dtype=jnp.float32).astype(dt)
+                        out.append(m[None, :, :, None])
+                    return out
+
+                lefts = {
+                    c: init_cut(cp.cross[(c - 1) % nC]) for c in range(nC)
+                }
+                for _ in range(max(self.ring_iters, 1)):
+                    for c in range(nC):
+                        out, _ = self._zip_column(T, c, lefts[c], +1, B_of=B_of)
+                        lefts[(c + 1) % nC] = out
+                rights = {c: init_cut(cp.cross[c]) for c in range(nC)}
+                for _ in range(max(self.ring_iters, 1)):
+                    for c in range(nC - 1, -1, -1):
+                        out, _ = self._zip_column(T, c, rights[c], -1, B_of=B_of)
+                        rights[(c - 1) % nC] = out
+                log_abs = jnp.zeros((), dtype=jnp.float32)
+                phase = jnp.ones((), dtype=jnp.float32).astype(dt)
+                for c in range(nC):
+                    lz, ph = self._column_scalar(T, c, lefts[c], rights[c], dt, B_of)
+                    log_abs = log_abs + lz
+                    phase = phase * ph
+                    le, pe = self._cut_scalar(lefts[(c + 1) % nC], rights[c], dt)
+                    log_abs = log_abs - le
+                    phase = phase / pe
+                return log_abs, phase
+
+            return jax.jit(ring_fn)
 
         def fn(T, Tb):
             dt = None
@@ -1442,7 +1546,9 @@ class BMPSSampler:
 
     def _cut_maps(self, c: int):
         cp = self.bmps.cplan
-        lcut = cp.cross[c - 1] if c > 0 else []
+        nC = len(cp.columns)
+        # ring plans: column 0's left cut is the wrap cut (index nC-1)
+        lcut = cp.cross[(c - 1) % nC] if (c > 0 or cp.periodic) else []
         rcut = cp.cross[c] if c < len(cp.cross) else []
         return {e[1]: i for i, e in enumerate(lcut)}, {e[0]: i for i, e in enumerate(rcut)}
 

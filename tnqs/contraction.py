@@ -90,17 +90,69 @@ def contraction_sequence(tensors: Sequence[Tensor], alg: str = "optimal", **kwar
         return _bipartite_sequence(tensors, refine="sa", **kwargs)
     if alg == "hypernd":
         return _bipartite_sequence(tensors, refine="fm", **kwargs)
+    cands = []
     if _native.have_native() and n >= _GREEDY_NATIVE_MIN:
         seq = _native.greedy_order(_index_sets(tensors), _dims(tensors))
         if seq is not None:
-            return seq
-    return _greedy_sequence(tensors)
+            cands.append(seq)
+    # Guard against catastrophic greedy trees: on cyclic (e.g. ring-quotient)
+    # networks a near-tie in the greedy score can commit to a tree whose
+    # largest intermediate carries O(boundary-of-the-whole-ring) open
+    # indices (observed: a 2^36-element intermediate on a 6x3 cylinder
+    # bilinear sandwich — a 512 GiB einsum).  Simulating a candidate's max
+    # intermediate size is O(n); pick the best candidate and escalate to
+    # the annealed search if everything greedy still blows past the cap.
+    cands.append(_greedy_sequence(tensors))
+    pick = min(cands, key=lambda s: _seq_max_intermediate(tensors, s))
+    if (
+        _seq_max_intermediate(tensors, pick) > _SEQ_INTERMEDIATE_CAP
+        and _native.have_native()
+    ):
+        seq = _native.sa_order(
+            _index_sets(tensors), _dims(tensors),
+            n_restarts=32, temperature=1.0, seed=0,
+        )
+        if seq is not None and _seq_max_intermediate(
+            tensors, seq
+        ) < _seq_max_intermediate(tensors, pick):
+            pick = seq
+    return pick
 
 
 def _result_inds(s1: frozenset, s2: frozenset) -> frozenset:
     # every index appears on at most two tensors in our networks, so the
     # result of a pairwise contraction keeps the symmetric difference
     return s1 ^ s2
+
+
+# a planned sequence whose largest intermediate exceeds this many elements
+# triggers escalation to the annealed search (2^27 elements = 1 GiB c64)
+_SEQ_INTERMEDIATE_CAP = 2**27
+
+
+def _seq_max_intermediate(tensors: Sequence[Tensor], seq) -> int:
+    """Largest intermediate (in elements) a contraction tree materializes."""
+    sets = _index_sets(tensors)
+    dimsz = _dims(tensors)
+
+    def size(s: frozenset) -> int:
+        return prod(dimsz[i] for i in s) if s else 1
+
+    worst = 0
+
+    def walk(s):
+        nonlocal worst
+        if isinstance(s, int):
+            return sets[s - 1]
+        out = None
+        for part in s:
+            p = walk(part)
+            out = p if out is None else _result_inds(out, p)
+        worst = max(worst, size(out))
+        return out
+
+    walk(seq)
+    return worst
 
 
 def _optimal_sequence(tensors: Sequence[Tensor]):

@@ -105,6 +105,18 @@ class QuadraticForm(AbstractForm):
         return [i.prime() for i in self.ket.virtualinds(e)]
 
 
+def _remap_site_inds(tns, remap: dict):
+    """Copy of `tns` with per-vertex site indices replaced (old, new) —
+    tensors AND the `site_inds` registry stay in sync."""
+    out = tns.copy()
+    for v, (old, new) in remap.items():
+        if old == new:
+            continue
+        out.set_preserve(v, out[v].replaceinds(old, new))
+        out.site_inds[v] = list(new)
+    return out
+
+
 class BilinearForm(AbstractForm):
     """<phi|O|psi> with an explicitly stored (primed, conjugated) bra.
 
@@ -120,6 +132,26 @@ class BilinearForm(AbstractForm):
             return
         if ket.graph != bra.graph:
             raise ValueError("BilinearForm: states must share the same graph")
+        # the sandwich pairs ket and bra by site-INDEX IDENTITY; two states
+        # built independently (same graph, same dims, different Index
+        # objects) would silently share nothing — the network decomposes
+        # into outer products and any contraction planner is forced into a
+        # d^(2 nv)-element intermediate (observed: a 512 GiB einsum on an
+        # 18-site cylinder).  Remap the bra's site indices onto the ket's
+        # per vertex when the dimensions agree; error when they don't.
+        if any(ket.siteinds(v) != bra.siteinds(v) for v in ket.vertices()):
+            remap = {}
+            for v in ket.vertices():
+                ks, bs = ket.siteinds(v), bra.siteinds(v)
+                if len(ks) != len(bs) or any(
+                    k.dim != b.dim for k, b in zip(ks, bs)
+                ):
+                    raise ValueError(
+                        f"BilinearForm: site indices at {v} differ in "
+                        f"number or dimension ({bs} vs {ks})"
+                    )
+                remap[v] = (list(bs), list(ks))
+            bra = _remap_site_inds(bra, remap)
         self.ket = ket
         self.bra = bra.map_tensors(lambda t: t.prime().dag())
         op_tensors = {}
