@@ -1528,10 +1528,12 @@ class BMPSSampler:
         if self.q_mode not in ("doubled", "factored"):
             raise ValueError(f"unknown q_mode {q_mode!r}")
         cp = bmps.cplan
-        if cp.periodic:
+        if cp.periodic and self.q_mode == "factored":
             raise NotImplementedError(
-                "boundary-MPS sampling on ring column quotients is not "
-                "supported; use the flex tier (tnqs.sample)"
+                "factored-q sampling on ring column quotients is not "
+                "supported (the wrap-cut norm message is a doubled-layer "
+                "object with no exact single-layer factorization); use "
+                "q_mode='doubled' or the flex tier (tnqs.sample)"
             )
         self.keys_order = [v for col in cp.columns for v in col]
         self._vidx = {v: i for i, v in enumerate(self.keys_order)}
@@ -1875,6 +1877,14 @@ class BMPSSampler:
         ``bitstring``; ``E_q[poverq] ~= 1`` in the Z_BP convention."""
         from .utils.transfer import device_get
 
+        if self.bmps.cplan.periodic:
+            raise NotImplementedError(
+                "independent re-certification on ring column quotients is "
+                "not supported (the single-layer <x|psi> sweep would need "
+                "a boundary MPO carrying the open wrap chain); use the "
+                "direct certificates (sample_directly_certified) or the "
+                "flex tier (tnqs.sample_certified)"
+            )
         out = self.sample_directly_certified(nsamples, seed=seed, chunk=chunk)
         cert_rank = self.proj_rank if cert_rank is None else int(cert_rank)
         width = nsamples if chunk is None else max(1, min(int(chunk), nsamples))
@@ -1911,12 +1921,59 @@ class BMPSSampler:
         call as its own XLA program; its outputs stay on device and feed
         every sample-group dispatch."""
         be = self.bmps
-        nC = len(be.cplan.columns)
+        cp = be.cplan
+        nC = len(cp.columns)
 
         def run_norm(T, M):
             dt = None
             for arr in T.values():
                 dt = arr.dtype
+            if cp.periodic:
+                # Ring plans: norm boundaries come from the Gauss-Seidel
+                # ring fixed point (`_boundary_mpses`).  Their normalization
+                # is arbitrary, so the line plan's absolute trace convention
+                # (rlog + Z_BP) does not apply; instead the per-sample trace
+                # is divided by the SAME pipeline run on the UNPROJECTED
+                # network (a "ghost" reference): sampled traces and the
+                # ghost share the wrap-cut caps (lefts[0] on the left edge
+                # of column 0, rights[nC-1] on the right edge of the last
+                # column), the two unknown cap scales enter both linearly
+                # and cancel exactly, and sum_x q(x) * trace_x = trace_ghost
+                # by per-site resolution of identity — so E_q[p/q] = 1 up
+                # to zip truncation (projected sweeps are near-exact; the
+                # ghost zips at the NORM rank, the same accuracy class as
+                # the fixed-point caps themselves).  Residual bias vs the
+                # exact ring norm is the ring-closure approximation, the
+                # same envelope as ring `expect` (see module tests).
+                lefts, rights = be._boundary_mpses(T, M)
+                ket_of = lambda v: be._vertex_tensor(T, v)
+                Lg = list(lefts[0])
+                llog_ref = jnp.zeros((), dtype=jnp.float32)
+                for c in range(nC - 1):
+                    Lg, dl = be._zip_column(T, c, Lg, +1)
+                    llog_ref = llog_ref + dl
+                log_col_ref, _ = be._column_scalar(
+                    T, nC - 1, Lg, rights[nC - 1], dt, ket_of
+                )
+                log_div = log_col_ref + llog_ref
+                # diagnostic norm estimate: the quotient partition formula
+                # (scale-invariant — each message appears once in a column
+                # scalar and once in a cut scalar), reported in the Z_BP
+                # convention like the line path: downstream computes
+                # exp(norm_log - log_div), so pre-shift by log_div - Z_BP
+                log_zbp = self._log_z_bp(T, M)
+                norm_log = jnp.zeros((), dtype=jnp.float32)
+                for c in range(nC):
+                    lz, _ = be._column_scalar(
+                        T, c, lefts[c], rights[c], dt, ket_of
+                    )
+                    le, _ = be._cut_scalar(lefts[(c + 1) % nC], rights[c], dt)
+                    norm_log = norm_log + lz - le
+                rlog = jnp.zeros((nC,), dtype=jnp.float32)
+                return (
+                    tuple(tuple(r) for r in rights), rlog, log_div,
+                    norm_log - log_zbp + log_div, tuple(lefts[0]),
+                )
             # the BP-norm convention divisor (reference: gauge_and_scale)
             log_zbp = self._log_z_bp(T, M)
             rights: list = [None] * nC
@@ -1930,7 +1987,7 @@ class BMPSSampler:
                     cur, ls = be._zip_column(T, c, cur, -1)
                     acc = acc + ls
             norm_log = self._column_norm(T, 0, rights[0], dt) + rlog[0]
-            return tuple(rights), jnp.stack(rlog), log_zbp, norm_log
+            return tuple(rights), jnp.stack(rlog), log_zbp, norm_log, ()
 
         return jax.jit(run_norm)
 
@@ -1954,13 +2011,17 @@ class BMPSSampler:
         lanes = width if local_width is None else local_width
         budget = max(4096, _EINSUM_BUDGET // max(1, lanes))
 
-        def run_group(T, rights, rlog, log_zbp, keys):
+        def run_group(T, rights, rlog, log_zbp, keys, wrap):
             dt = None
             for arr in T.values():
                 dt = arr.dtype
 
             def one(key):
-                L: list | _FactoredCut = [] if self.q_mode == "doubled" else _FactoredCut([])
+                # ring plans start the projected boundary from the wrap-cut
+                # fixed-point cap (`wrap` = lefts[0]); line plans from empty
+                L: list | _FactoredCut = (
+                    list(wrap) if self.q_mode == "doubled" else _FactoredCut([])
+                )
                 llog = jnp.zeros((), dtype=jnp.float32)
                 logq = jnp.zeros((), dtype=jnp.float32)
                 bits_all = []
@@ -1991,7 +2052,10 @@ class BMPSSampler:
                         llog = llog + dlog
                 # p/q of the full bitstring: the last column's conditionals
                 # are exact on the chain, so the partial-bitstring ratio is
-                # the full one (reference convention, `sampling.jl:186-190`)
+                # the full one (reference convention, `sampling.jl:186-190`).
+                # On ring plans `log_zbp` carries the ghost-reference
+                # divisor instead of Z_BP (see `_build_norm`) and the same
+                # formula applies with rlog = 0.
                 poverq = log_tr_last + llog + rlog[nC - 1] - log_zbp
                 return jnp.stack(bits_all), logq, jnp.exp(poverq)
 
@@ -2021,7 +2085,7 @@ class BMPSSampler:
         if ("group", width) not in self._fns:
             self._fns[("group", width)] = self._build_group(width)
         T, M = self.bmps.engine.T, self.bmps.engine.M
-        rights, rlog, log_zbp, norm_log = self._fns["norm"](T, M)
+        rights, rlog, log_zbp, norm_log, wrap = self._fns["norm"](T, M)
         n_hat_dev = jnp.exp(norm_log - log_zbp)
         keys = jax.random.split(jax.random.PRNGKey(seed), nsamples)
         pad = (-nsamples) % width
@@ -2029,7 +2093,7 @@ class BMPSSampler:
             keys = jnp.concatenate([keys, jnp.repeat(keys[-1:], pad, axis=0)])
         group_fn = self._fns[("group", width)]
         parts = [
-            group_fn(T, rights, rlog, log_zbp, keys[i : i + width])
+            group_fn(T, rights, rlog, log_zbp, keys[i : i + width], wrap)
             for i in range(0, nsamples + pad, width)
         ]
         bits = jnp.concatenate([p[0] for p in parts])[:nsamples]

@@ -341,12 +341,12 @@ class ShardedSampler:
         M = jax.device_put(eng.M, repl)
         # norm-network boundary MPSes: sample-independent, computed once,
         # replicated over the mesh (every device reads its local copy)
-        rights, rlog, log_zbp, norm_log = sam._fns["norm"](T, M)
+        rights, rlog, log_zbp, norm_log, wrap = sam._fns["norm"](T, M)
         n_hat = jnp.exp(norm_log - log_zbp)
         keys = jax.random.split(jax.random.PRNGKey(seed), n_pad)
         keys = jax.device_put(keys, NamedSharding(self.mesh, P(self.axis)))
         bits, logq, poverq = sam._fns[("group", n_pad, D)](
-            T, rights, rlog, log_zbp, keys
+            T, rights, rlog, log_zbp, keys, wrap
         )
         bits = np.asarray(device_get(bits))[:nsamples]
         logq = np.asarray(device_get(logq))[:nsamples]
