@@ -78,12 +78,7 @@ class ShardedBMPS:
         self.axis = mesh.axis_names[0]
         self.D = int(mesh.devices.size)
         cp = bmps.cplan
-        if cp.periodic:
-            raise NotImplementedError(
-                "ring-quotient (periodic) column plans are not supported "
-                "by the device-ring pipeline yet; use the unsharded "
-                "BMPSEngine"
-            )
+        self.periodic = bool(cp.periodic)
         nC = len(cp.columns)
         if nC < self.D:
             raise ValueError(
@@ -174,6 +169,206 @@ class ShardedBMPS:
             entry[i][tuple(slice(0, s) for s in t.shape)]
             for i, t in enumerate(true_shapes)
         ]
+
+    # -- ring (periodic) plans: banded Gauss-Seidel relay -------------------
+    def _ring_templates(self):
+        """Ring-plan analog of `_cut_templates`: per sweep direction, the
+        padded relay template and the per-band STABLE entry-cut shapes of
+        the banded Gauss-Seidel relay, via iterated `jax.eval_shape` of the
+        band zips from the BP product-MPS inits (the shape map reaches its
+        fixed point within a winding or two; asserted).  No compute."""
+        if self._templates is not None:
+            return self._templates
+        bmps, nC, D = self.bmps, self.nC, self.D
+        eng = bmps.engine
+        Tspec = {
+            k: jax.ShapeDtypeStruct(v.shape, v.dtype) for k, v in eng.T.items()
+        }
+        chi = eng.M.shape[-1]
+        dt = eng.M.dtype
+        cp = bmps.cplan
+
+        def init_spec(cut):
+            return tuple(
+                jax.ShapeDtypeStruct((1, chi, chi, 1), dt) for _ in cut
+            )
+
+        def band_zip(i, direction):
+            s0, s1 = self.bands[i]
+            cols = range(s0, s1) if direction > 0 else range(s1 - 1, s0 - 1, -1)
+
+            def f(T, entry):
+                cur = list(entry)
+                for c in cols:
+                    cur, _ = bmps._zip_column(T, c, cur, direction)
+                return tuple(cur)
+
+            return f
+
+        def stable_entries(direction):
+            # left chain (+1): band i's entry lives on cut (s0-1)%nC and its
+            # exit feeds band i+1; right chain (-1): entry on cut (s1-1)%nC,
+            # exit feeds band i-1
+            entries = [
+                init_spec(
+                    cp.cross[(self.bands[i][0] - 1) % nC]
+                    if direction > 0
+                    else cp.cross[(self.bands[i][1] - 1) % nC]
+                )
+                for i in range(D)
+            ]
+            step = 1 if direction > 0 else -1
+            for _ in range(8):
+                exits = [
+                    jax.eval_shape(band_zip(i, direction), Tspec, entries[i])
+                    for i in range(D)
+                ]
+                new = [exits[(i - step) % D] for i in range(D)]
+                if all(
+                    tuple(t.shape for t in a) == tuple(t.shape for t in b)
+                    for a, b in zip(new, entries)
+                ):
+                    return new
+                entries = new
+            raise RuntimeError(
+                "ring relay cut shapes did not stabilize in 8 windings"
+            )
+
+        def template(entries):
+            all_t = [t for e in entries for t in e]
+            n = max(len(e) for e in entries)
+            shape = tuple(max(t.shape[i] for t in all_t) for i in range(4))
+            return [jax.ShapeDtypeStruct(shape, all_t[0].dtype)] * n
+
+        entryL = stable_entries(+1)
+        entryR = stable_entries(-1)
+        self._templates = (
+            (template(entryL), entryL),
+            (template(entryR), entryR),
+        )
+        return self._templates
+
+    def _build_expect_ring(self):
+        """Ring-plan expect program: the banded counterpart of the
+        unsharded Gauss-Seidel relaxation (`BMPSEngine._boundary_mpses`,
+        periodic branch).  Each device seeds its entry cut from the BP
+        bond environments (zero-embedded into the stable relay shapes —
+        padding never enters a contraction) and `ring_iters * D` relay
+        steps wind every message `ring_iters` times around the ring, the
+        same power-iteration depth per message as the unsharded loop (which
+        winds ONE message around; both converge to the same fixed-point
+        class as correlations decay).  The per-column ladder walks then run
+        fully parallel across bands, exactly like the line-plan program."""
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        bmps, cp, nC, D = self.bmps, self.bmps.cplan, self.nC, self.D
+        axis, bands = self.axis, self.bands
+        eng = bmps.engine
+        eids = eng.plan.edge_ids
+        (tmplL, entryL), (tmplR, entryR) = self._ring_templates()
+        maxnv = max(
+            sum(len(cp.columns[c]) for c in range(s0, s1)) for (s0, s1) in bands
+        )
+        fwd = [(i, (i + 1) % D) for i in range(D)]
+        bwd = [(i, (i - 1) % D) for i in range(D)]
+        steps = max(bmps.ring_iters, 1) * D
+
+        def mk_init(i, direction, tmpl):
+            s0, s1 = bands[i]
+            cut = cp.cross[((s0 if direction > 0 else s1) - 1) % nC]
+
+            def f(M):
+                out = [
+                    M[eids[(u, w) if direction > 0 else (w, u)]][
+                        None, :, :, None
+                    ]
+                    for (u, w) in cut
+                ]
+                return self._pad_cut(out, tmpl)
+
+            return f
+
+        def mk_exit(i, direction, stable, tmpl):
+            s0, s1 = bands[i]
+            cols = range(s0, s1) if direction > 0 else range(s1 - 1, s0 - 1, -1)
+
+            def f(T, entry):
+                cur = self._unpad_cut(entry, stable[i])
+                for c in cols:
+                    cur, _ = bmps._zip_column(T, c, cur, direction)
+                return self._pad_cut(cur, tmpl)
+
+            return f
+
+        def mk_band_body(i):
+            s0, s1 = bands[i]
+
+            def f(T, eL, eR, op):
+                lefts = {}
+                cur = self._unpad_cut(eL, entryL[i])
+                for c in range(s0, s1):
+                    lefts[c] = cur
+                    if c < s1 - 1:
+                        cur, _ = bmps._zip_column(T, c, cur, +1)
+                rights = {}
+                cur = self._unpad_cut(eR, entryR[i])
+                for c in range(s1 - 1, s0 - 1, -1):
+                    rights[c] = cur
+                    if c > s0:
+                        cur, _ = bmps._zip_column(T, c, cur, -1)
+                vals = []
+                for c in range(s0, s1):
+                    got = bmps._ladder_expect(T, c, lefts[c], rights[c], op)
+                    vals.extend(got[v] for v in cp.columns[c])
+                vals = jnp.stack(vals)
+                return jnp.pad(vals, (0, maxnv - vals.shape[0]))
+
+            return f
+
+        initL_b = [mk_init(i, +1, tmplL) for i in range(D)]
+        initR_b = [mk_init(i, -1, tmplR) for i in range(D)]
+        exitL_b = [mk_exit(i, +1, entryL, tmplL) for i in range(D)]
+        exitR_b = [mk_exit(i, -1, entryR, tmplR) for i in range(D)]
+        band_b = [mk_band_body(i) for i in range(D)]
+
+        kwargs = dict(
+            mesh=self.mesh, in_specs=(P(), P(), P()), out_specs=P(axis)
+        )
+
+        def smap(f):
+            try:  # jax >= 0.8 renamed check_rep -> check_vma
+                return shard_map(f, check_vma=False, **kwargs)
+            except TypeError:
+                return shard_map(f, check_rep=False, **kwargs)
+
+        @smap
+        def run(T, op, M):
+            d = jax.lax.axis_index(axis)
+            eL = jax.lax.switch(d, initL_b, M)
+            eR = jax.lax.switch(d, initR_b, M)
+
+            def relay(t, carry):
+                eL, eR = carry
+                exL = jax.lax.switch(d, exitL_b, T, eL)
+                exR = jax.lax.switch(d, exitR_b, T, eR)
+                newL = jax.tree.map(lambda x: jax.lax.ppermute(x, axis, fwd), exL)
+                newR = jax.tree.map(lambda x: jax.lax.ppermute(x, axis, bwd), exR)
+                return newL, newR
+
+            eL, eR = jax.lax.fori_loop(0, steps, relay, (eL, eR))
+            vals = jax.lax.switch(d, band_b, T, eL, eR, op)
+            return vals[None]  # [1, maxnv] per device -> [D, maxnv] global
+
+        order = [
+            v for (s0, s1) in bands for c in range(s0, s1) for v in cp.columns[c]
+        ]
+        counts = [
+            sum(len(cp.columns[c]) for c in range(s0, s1)) for (s0, s1) in bands
+        ]
+        return jax.jit(run), order, counts, maxnv
 
     # -- compiled program -------------------------------------------------
     def _build_expect(self):
@@ -290,7 +485,9 @@ class ShardedBMPS:
         from ..utils.transfer import device_get
 
         if self._fn is None:
-            self._fn = self._build_expect()
+            self._fn = (
+                self._build_expect_ring() if self.periodic else self._build_expect()
+            )
         jfn, order, counts, maxnv = self._fn
         eng = self.bmps.engine
         repl = NamedSharding(self.mesh, P())
@@ -298,7 +495,11 @@ class ShardedBMPS:
         op = jax.device_put(
             np.asarray(op_matrix(opname, eng.d)).astype(np.dtype(eng.dtype)), repl
         )
-        vals = np.asarray(device_get(jfn(T, op)))  # [D, maxnv]
+        if self.periodic:
+            M = jax.device_put(eng.M, repl)
+            vals = np.asarray(device_get(jfn(T, op, M)))  # [D, maxnv]
+        else:
+            vals = np.asarray(device_get(jfn(T, op)))  # [D, maxnv]
         out = {}
         k = 0
         for i, n in enumerate(counts):
