@@ -57,8 +57,39 @@ def _dims(tensors: Sequence[Tensor]) -> dict[Index, int]:
     return out
 
 
+def _validate_sequence(seq, n: int) -> None:
+    """Check a nested leaf-position tree covers 1..n exactly once."""
+    leaves: list[int] = []
+
+    def walk(node):
+        if isinstance(node, (int, np.integer)):
+            leaves.append(int(node))
+        elif isinstance(node, (list, tuple)):
+            for sub in node:
+                walk(sub)
+        else:
+            raise TypeError(f"bad sequence node {node!r}")
+
+    walk(seq)
+    if sorted(leaves) != list(range(1, n + 1)):
+        raise ValueError(
+            f"custom optimizer returned an invalid tree over {n} tensors: "
+            f"leaves {sorted(leaves)}"
+        )
+
+
 def contraction_sequence(tensors: Sequence[Tensor], alg: str = "optimal", **kwargs):
-    """Find a pairwise contraction tree for `tensors`."""
+    """Find a pairwise contraction tree for `tensors`.
+
+    `alg` is either one of the built-in optimizer names (module docstring)
+    or a CALLABLE — the pluggable-optimizer protocol mirroring the
+    reference's acceptance of arbitrary OMEinsum optimizer objects
+    (`/root/reference/src/contraction_sequences.jl:12-18`): it is invoked
+    as ``alg(index_sets, dims, **kwargs)`` with `index_sets` a list of
+    per-tensor frozensets of :class:`~tnqs.core.index.Index` objects and
+    `dims` a dict Index -> dimension, and must return a nested 1-based
+    leaf-position sequence (e.g. ``[[1, 3], 2]``).  The returned tree is
+    validated before use."""
     n = len(tensors)
     if n == 0:
         raise ValueError("empty tensor list")
@@ -66,6 +97,10 @@ def contraction_sequence(tensors: Sequence[Tensor], alg: str = "optimal", **kwar
         return [1]
     if n == 2:
         return [1, 2]
+    if callable(alg):
+        seq = alg(_index_sets(tensors), _dims(tensors), **kwargs)
+        _validate_sequence(seq, n)
+        return seq
     if alg == "optimal":
         if _native.have_native() and n <= _OPTIMAL_MAX_NATIVE:
             seq = _native.optimal_order(_index_sets(tensors), _dims(tensors))

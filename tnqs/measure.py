@@ -424,10 +424,18 @@ def second_renyi_entanglement_entropy(*args, **kwargs) -> float:
 # ----------------------------------------------------------------------
 
 def contract_network(tn, alg: str = "exact", **kwargs):
-    """Contract a scalar network to a number with the chosen algorithm."""
+    """Contract a scalar network to a number with the chosen algorithm.
+
+    `alg="exact"` accepts `sequence_alg` — a built-in optimizer name or a
+    CALLABLE custom optimizer (the pluggable protocol of
+    `tnqs.contraction_sequence`, mirroring the reference's acceptance of
+    arbitrary OMEinsum optimizer objects,
+    `/root/reference/src/contraction_sequences.jl:12-18`)."""
     if alg == "exact":
         tensors = [tn[v] for v in tn.vertices()]
-        seq = contraction_sequence(tensors, alg="greedy")
+        seq = contraction_sequence(
+            tensors, alg=kwargs.pop("sequence_alg", "greedy")
+        )
         return contract(tensors, sequence=seq).item()
     if alg == "bp":
         bp_update_kwargs = kwargs.pop("bp_update_kwargs", None) or default_bp_update_kwargs(tn)
