@@ -1,0 +1,93 @@
+"""On-chip certificate-noise probe of the zip-rounding path (round-4
+verdict item 3: close compiled pq_rel_std to the flex 8.1e-4 class).
+
+`scripts/probe_cert_rank_sweep_results.json` localized the residual
+3-4e-2 spread to the NORM-message rank axis (proj 12->24 changed nothing;
+norm 10->16 cut it to 1.5e-2), i.e. the greedy per-vertex zip truncation
+vs the flex tier's variational fitting at the same rank
+(`boundarympscache.jl:401-450`).  `BMPSEngine(zip_factor=k)` zips at
+rank*k internally and rounds the emitted chain back with one
+right-to-left SVD sweep (`_round_chain`) — on the (4,5) TFIM CPU probe
+this moved rel-std 8.3e-3 -> 8.2e-4 at identical downstream rank.
+
+This measures the same knob at the w2 reference config on the chip.
+
+Run: timeout -k 30 4800 python scripts/probe_zip_factor.py
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+import numpy as np
+
+import bench  # noqa: E402
+
+
+def main():
+    import jax.numpy as jnp
+
+    import tnqs
+    from tnqs.bmps_engine import BMPSEngine, BMPSSampler
+    from tnqs.engine import LatticeEngine
+    from tnqs.models import heavy_hex_kicked_ising_layer
+
+    bench.acquire_tpu_lock(max_wait_s=600.0)
+    bench.wait_for_tpu(max_wait_s=900.0)
+
+    g = tnqs.eagle_lattice()
+    layer = heavy_hex_kicked_ising_layer(g, float(np.pi / 4), 0.4)
+    psi = tnqs.tensornetworkstate(lambda v: "↑", g, "S=1/2", dtype=np.complex64)
+    eng = LatticeEngine(psi, chi=8, dtype=jnp.complex64)
+    step = eng.make_step(layer, cutoff=1e-12, bp_maxiter=25)
+    T, M = eng.T, eng.M
+    for _ in range(20):
+        T, M, _ = step(T, M)
+    eng.T, eng.M = T, M
+    print("## evolve done", flush=True)
+
+    results = []
+    for name, zf in (("zf2 norm10 r12", 2), ("zf3 norm10 r12", 3)):
+        t0 = time.time()
+        try:
+            be = BMPSEngine(eng, rank=10, oversample=8, power_iters=3,
+                            zip_factor=zf)
+            sam = BMPSSampler(be, proj_rank=12, q_mode="factored")
+            cert = sam.sample_directly_certified(50, seed=0, chunk=10)
+            pq = np.array([c["poverq"] for c in cert])
+            row = dict(
+                config=name, zip_factor=zf,
+                pq_mean=round(float(pq.mean()), 5),
+                pq_rel_std=float(pq.std() / pq.mean()),
+                pq_min=float(pq.min()),
+                total_s=round(time.time() - t0, 1),
+            )
+        except Exception as e:
+            row = dict(config=name, zip_factor=zf,
+                       error=repr(e)[:300], total_s=round(time.time() - t0, 1))
+        results.append(row)
+        print(f"## {row}", flush=True)
+        if not row.get("error") and row["pq_rel_std"] <= 2.5e-3:
+            break  # target met; don't burn another remote compile
+
+    out = ROOT / "scripts" / "probe_zip_factor_results.json"
+    out.write_text(json.dumps(
+        {"workload": "w2 Eagle-127 chi=8 20 layers, 50 samples, chunk 10",
+         "baseline": {"config": "committed norm10 r12 pi3 zf1",
+                      "pq_rel_std": 3.97e-2,
+                      "source": "scripts/w2_onchip_results.json"},
+         "rank_sweep": {"norm16 r24": 1.54e-2,
+                        "source": "scripts/probe_cert_rank_sweep_results.json"},
+         "flex_reference": {"pq_rel_std": 8.1e-4,
+                            "config": "norm10 fitting + proj40"},
+         "target": 2.5e-3,
+         "rows": results}, indent=1))
+    print(f"## wrote {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -410,6 +410,41 @@ def _exact_trunc_svd(Am, m_shape, cols_shape, keep: int):
     return Q, C / c_n, jnp.log(jnp.real(c_n))
 
 
+def _round_chain(chain: list, keep: int) -> list:
+    """Round an emitted boundary-MPS chain (walk order, tensors
+    [q_in, bk, bb, q_out]) down to bond dimension `keep` with one
+    right-to-left SVD truncation sweep.
+
+    The zip emits are left-canonical by construction — every emitted
+    tensor is the Q/U factor of its step factorization over the
+    (q_in, bk, bb) rows (`_exact_trunc_svd` / `_orth`), except the last,
+    which carries the folded tail norm — so a single right-to-left sweep
+    is the globally (quasi-)optimal compression of the chain
+    (Schollwoeck '11 §4.5.1).  This is the compiled tier's counterpart of
+    the flex fitting update (`boundarympscache.jl:401-450` via
+    `message_update_alg="fitting"`): zip at an elevated internal rank
+    (`zip_factor`), then round to the caller's rank, which tracks the
+    variationally fitted message far more closely than a greedy
+    rank-`keep` zip (the per-vertex greedy truncation compounds down the
+    column; the rounded chain truncates the COLUMN-level spectrum)."""
+    if len(chain) <= 1:
+        return list(chain)
+    out = list(chain)
+    carry = None  # [q_old, x_new], absorbed into the left neighbor
+    for i in range(len(out) - 1, 0, -1):
+        A = out[i]
+        q, bk, bb, r = A.shape
+        U, s, Vh = jnp.linalg.svd(
+            A.reshape(q, bk * bb * r), full_matrices=False
+        )
+        x = min(keep, q, bk * bb * r)
+        out[i] = Vh[:x].reshape(x, bk, bb, r)
+        carry = U[:, :x] * s[:x].astype(A.dtype)[None, :]
+        L = out[i - 1]
+        out[i - 1] = jnp.einsum("pkbq,qx->pkbx", L, carry)
+    return out
+
+
 @partial(jax.jit, static_argnames=("keep",))
 def _exact_emit_step_block(C, Min, K, B, *, keep: int):
     """Deterministic exact-SVD emit step (doubled layer): materialize the
@@ -518,9 +553,17 @@ class BMPSEngine:
     vertex.  `rank` is the MPS bond dimension (the accuracy knob,
     reference `mps_bond_dimension`)."""
 
-    def __init__(self, engine: LatticeEngine, rank: int, column_of=None, row_of=None, seed: int = 7, oversample: int = 8, power_iters: int = 1, ring_iters: int = 3):
+    def __init__(self, engine: LatticeEngine, rank: int, column_of=None, row_of=None, seed: int = 7, oversample: int = 8, power_iters: int = 1, ring_iters: int = 3, zip_factor: int = 1):
         self.engine = engine
         self.rank = int(rank)
+        # zip_factor > 1: every column zip runs internally at
+        # rank * zip_factor and the emitted chain is rounded back to
+        # `rank` by `_round_chain` — fitting-class message accuracy at
+        # the same downstream rank (the per-vertex greedy truncation is
+        # what separates the compiled certificates from the flex
+        # fitting pipeline's; round-4 verdict item 3).  1 = round-4
+        # behavior, byte-identical programs.
+        self.zip_factor = int(zip_factor)
         # ring (periodic) column quotients: passes of the power-iteration
         # relaxation around the ring (see `_boundary_mpses`)
         self.ring_iters = int(ring_iters)
@@ -586,6 +629,9 @@ class BMPSEngine:
         the intermediate-size budget (the vmapped sampler divides it by the
         sample batch)."""
         rank = self.rank if rank is None else int(rank)
+        target_rank = rank
+        if self.zip_factor > 1:
+            rank = rank * self.zip_factor  # rounded back before return
         if budget is None:
             budget = _EINSUM_BUDGET
         cp = self.cplan
@@ -701,6 +747,15 @@ class BMPSEngine:
             tail = C.reshape(C.shape[0])  # [x]
             e = emitted[last_emit]
             emitted[last_emit] = jnp.einsum("qrRx,x->qrR", e, tail)[..., None]
+            if self.zip_factor > 1 and len(emit_cut) > 1:
+                # chain bonds link consecutive emits in WALK order; round
+                # in that order, then scatter back to cut order
+                walk = [emit_of[v] for v in col if v in emit_of]
+                rounded = _round_chain(
+                    [emitted[i] for i in walk], target_rank
+                )
+                for i, t in zip(walk, rounded):
+                    emitted[i] = t
         else:
             # fully scalar column (no emissions): remaining carry is a pure
             # scale; report it so partition functions stay absolute
