@@ -170,6 +170,11 @@ if __name__ == "__main__":
             os.environ["XLA_FLAGS"] = (
                 flags + f" --xla_force_host_platform_device_count={n}"
             ).strip()
-        print(json.dumps(child(n)), flush=True)
+        import numpy as _np
+
+        def _py(o):  # numpy scalars from traffic/partition counters
+            return int(o) if isinstance(o, _np.integer) else float(o)
+
+        print(json.dumps(child(n), default=_py), flush=True)
     else:
         main()
