@@ -1236,11 +1236,20 @@ class LatticeEngine:
                 if use_pjsvd:
                     from .ops.osj import pjsvd
 
+                    # Rectangular classes run 6 polish sweeps (square: 4).
+                    # The tall iterate's Gram preconditioner sees only the
+                    # n-dim column space of an m>n matrix, so its starting
+                    # basis is noisier than the square case and the committed
+                    # artifact's parity margin was carried by these classes
+                    # (4.69e-6 vs the 5.33e-6 flex-f32 floor); two extra
+                    # sweeps are ~1% of layer FLOPs and buy the gate margin.
+                    polish = 6 if m_ != n_ else 4
                     if m_ >= n_:
-                        U_all, s_all, Vh_all = pjsvd(Ts)
+                        U_all, s_all, Vh_all = pjsvd(Ts, polish_sweeps=polish)
                     else:
                         Ut, s_all, Vht = pjsvd(
-                            jnp.conj(jnp.swapaxes(Ts, -1, -2))
+                            jnp.conj(jnp.swapaxes(Ts, -1, -2)),
+                            polish_sweeps=polish,
                         )
                         U_all = jnp.conj(jnp.swapaxes(Vht, -1, -2))
                         Vh_all = jnp.conj(jnp.swapaxes(Ut, -1, -2))

@@ -111,7 +111,7 @@ Array = jax.Array
 # kernel algorithm itself) changes: `pjsvd_certified` requires the
 # committed on-chip artifact to carry the SAME marker, so a stale artifact
 # can never certify a routing it did not actually run.
-PJSVD_ROUTING = "tall+wide-adjoint-v2"
+PJSVD_ROUTING = "tall+wide-adjoint-v3-rect6"
 
 
 def _rot_params_rel(a, b, gr, gi, eps):
