@@ -37,7 +37,9 @@ def main():
     from tnqs.models import heavy_hex_kicked_ising_layer
 
     bench.acquire_tpu_lock(max_wait_s=600.0)
-    bench.wait_for_tpu(max_wait_s=900.0)
+    # the chip has multi-hour outages; this probe is the head of the round-5
+    # TPU queue, so it shoulders the whole wait
+    bench.wait_for_tpu(max_wait_s=14400.0)
 
     g = tnqs.eagle_lattice()
     layer = heavy_hex_kicked_ising_layer(g, float(np.pi / 4), 0.4)
